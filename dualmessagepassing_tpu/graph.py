@@ -1,0 +1,243 @@
+"""Static-shape graph containers for TPU execution.
+
+This is the TPU-native replacement for the reference's graph containers
+(`Graph(dgl.DGLGraph)` and `EdgeSeq`, /root/reference/SubgraphCountingMatching/
+dataset.py:111-769,1053-1373). Instead of a mutable graph object with feature
+dicts, we use immutable struct-of-arrays pytrees with *static* padded shapes so
+that XLA compiles one program per (V_max, E_max) bucket:
+
+- `GraphBatch`  — a batch of B graphs, each padded to V_max nodes / E_max
+  edges; layout [B, V_max] / [B, E_max].  This is the SCM workhorse: batching
+  is a leading axis (so data parallelism = shard axis 0 of every leaf), and
+  message passing lowers to batched gathers + one-hot einsums that map onto
+  the MXU.
+- `FlatGraph`   — one large graph in flat COO form (UNC workload; PubMed/Yelp
+  scale), aggregated with segment-sum (XLA scatter-add or the Pallas CSR
+  kernel in ops/).
+
+Padding convention: **post-pad** — real entries occupy the head of each row,
+padding the tail; `node_mask`/`edge_mask` mark real entries.  (The reference
+pre-pads, dataset.py `batch_convert_len_to_mask(pre_pad=True)`; we translate at
+parity-test boundaries only.)  Padded edges have senders == receivers == 0 and
+must always be masked out by consumers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class GraphBatch:
+    """A batch of B graphs padded to a static (V_max, E_max) envelope.
+
+    Equivalent capability surface of the reference `Graph` container
+    (dataset.py:1053-1373): ids, labels, degrees, batching — but immutable,
+    functional, and statically shaped.
+    """
+
+    # Structure: [B, E] int32 node indices (into the V axis of the same graph).
+    senders: jnp.ndarray
+    receivers: jnp.ndarray
+    # Features: [B, V] / [B, E] int32.
+    node_id: jnp.ndarray
+    node_label: jnp.ndarray
+    edge_label: jnp.ndarray
+    # Validity masks: [B, V] / [B, E] bool.
+    node_mask: jnp.ndarray
+    edge_mask: jnp.ndarray
+    # Reversed-edge augmentation flag (reference REVFLAG, dataset.py:1474-1506):
+    # [B, E] bool; True for the artificially added reverse direction.
+    rev_flag: jnp.ndarray
+    # [B] int32 true sizes.
+    n_node: jnp.ndarray
+    n_edge: jnp.ndarray
+
+    # ---- shapes --------------------------------------------------------------
+    @property
+    def batch_size(self) -> int:
+        return self.node_id.shape[0]
+
+    @property
+    def max_nodes(self) -> int:
+        return self.node_id.shape[1]
+
+    @property
+    def max_edges(self) -> int:
+        return self.senders.shape[1]
+
+    # ---- degrees -------------------------------------------------------------
+    # Reference: dgl out_degrees/in_degrees with cached INDEGREE/OUTDEGREE
+    # (dataset.py:1222-1236). Here recomputed on device: a masked scatter-add
+    # of ones. XLA folds this into the surrounding program; it is cheap
+    # relative to the matmuls.
+    def out_degrees(self) -> jnp.ndarray:
+        """[B, V] float32 out-degree per node (over all real edges)."""
+        return _bincount_batched(self.senders, self.edge_mask, self.max_nodes)
+
+    def in_degrees(self) -> jnp.ndarray:
+        """[B, V] float32 in-degree per node (over all real edges)."""
+        return _bincount_batched(self.receivers, self.edge_mask, self.max_nodes)
+
+    # ---- conversions ---------------------------------------------------------
+    def flatten(self) -> "FlatGraph":
+        """Concatenate the batch into one flat disjoint-union graph.
+
+        Mirror of `dgl.batch` semantics (dataset.py:1299-1321) with node-index
+        offsets of V_max per graph (padded slots included, masked off).
+        """
+        b, v = self.node_id.shape
+        offs = (jnp.arange(b, dtype=jnp.int32) * v)[:, None]
+        return FlatGraph(
+            senders=(self.senders + offs).reshape(-1),
+            receivers=(self.receivers + offs).reshape(-1),
+            node_id=self.node_id.reshape(-1),
+            node_label=self.node_label.reshape(-1),
+            edge_label=self.edge_label.reshape(-1),
+            node_mask=self.node_mask.reshape(-1),
+            edge_mask=self.edge_mask.reshape(-1),
+            rev_flag=self.rev_flag.reshape(-1),
+            num_nodes=b * v,
+        )
+
+
+@struct.dataclass
+class FlatGraph:
+    """One flat COO graph (static E, V) — the UNC large-graph container."""
+
+    senders: jnp.ndarray     # [E] int32
+    receivers: jnp.ndarray   # [E] int32
+    node_id: jnp.ndarray     # [V] int32
+    node_label: jnp.ndarray  # [V] int32
+    edge_label: jnp.ndarray  # [E] int32
+    node_mask: jnp.ndarray   # [V] bool
+    edge_mask: jnp.ndarray   # [E] bool
+    rev_flag: jnp.ndarray    # [E] bool
+    num_nodes: int = struct.field(pytree_node=False)
+
+    @property
+    def max_edges(self) -> int:
+        return self.senders.shape[0]
+
+
+# =============================================================================
+# Host-side builders (numpy): the input pipeline constructs these, then the
+# arrays are shipped to device once per batch.
+# =============================================================================
+
+def single_graph(
+    num_nodes: int,
+    senders: Sequence[int],
+    receivers: Sequence[int],
+    node_labels: Optional[Sequence[int]] = None,
+    edge_labels: Optional[Sequence[int]] = None,
+    v_max: Optional[int] = None,
+    e_max: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Build one padded graph record (host-side numpy dict).
+
+    The record is the unit the batching collate operates on; mirrors the
+    preprocessing output of `GraphAdjDataset.preprocess` (dataset.py:1422-1445)
+    without the DGL object.
+    """
+    senders = np.asarray(senders, dtype=np.int32)
+    receivers = np.asarray(receivers, dtype=np.int32)
+    num_edges = len(senders)
+    v_max = num_nodes if v_max is None else v_max
+    e_max = num_edges if e_max is None else e_max
+    if num_nodes > v_max or num_edges > e_max:
+        raise ValueError(
+            f"graph ({num_nodes}V,{num_edges}E) exceeds envelope ({v_max},{e_max})"
+        )
+    if node_labels is None:
+        node_labels = np.zeros(num_nodes, dtype=np.int32)
+    if edge_labels is None:
+        edge_labels = np.zeros(num_edges, dtype=np.int32)
+
+    def pad1(x, n, fill=0):
+        out = np.full((n,), fill, dtype=np.int32)
+        out[: len(x)] = x
+        return out
+
+    return {
+        "senders": pad1(senders, e_max),
+        "receivers": pad1(receivers, e_max),
+        "node_id": pad1(np.arange(num_nodes, dtype=np.int32), v_max),
+        "node_label": pad1(np.asarray(node_labels, dtype=np.int32), v_max),
+        "edge_label": pad1(np.asarray(edge_labels, dtype=np.int32), e_max),
+        "node_mask": pad1(np.ones(num_nodes, dtype=np.int32), v_max).astype(bool),
+        "edge_mask": pad1(np.ones(num_edges, dtype=np.int32), e_max).astype(bool),
+        "rev_flag": np.zeros(e_max, dtype=bool),
+        "n_node": np.int32(num_nodes),
+        "n_edge": np.int32(num_edges),
+    }
+
+
+def add_reversed_edges(rec: Dict[str, np.ndarray], num_edge_labels: int) -> Dict[str, np.ndarray]:
+    """Reversed-edge augmentation on a host record.
+
+    Semantics of the reference transform (train.py:273-327, dataset.py
+    `GraphAdjDataset.add_reversed_edges`): for every real edge (u, v, el) add
+    (v, u, el + num_edge_labels) with rev_flag=True. Doubles E_max.
+    """
+    n_edge = int(rec["n_edge"])
+    e_max = rec["senders"].shape[0]
+
+    def cat(a, b):
+        return np.concatenate([a, b], axis=0)
+
+    out = dict(rec)
+    out["senders"] = cat(rec["senders"], rec["receivers"])
+    out["receivers"] = cat(rec["receivers"], rec["senders"])
+    rev_labels = rec["edge_label"].copy()
+    rev_labels[: n_edge] += num_edge_labels
+    out["edge_label"] = cat(rec["edge_label"], rev_labels)
+    out["edge_mask"] = cat(rec["edge_mask"], rec["edge_mask"])
+    out["rev_flag"] = cat(np.zeros(e_max, dtype=bool), rec["edge_mask"].astype(bool))
+    out["n_edge"] = np.int32(2 * n_edge)
+    return out
+
+
+def compact_record(rec: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Re-pack a record so real edges are contiguous at the head (post-pad)."""
+    em = rec["edge_mask"].astype(bool)
+    order = np.argsort(~em, kind="stable")  # real edges first, stable
+    out = dict(rec)
+    for k in ("senders", "receivers", "edge_label", "edge_mask", "rev_flag"):
+        out[k] = rec[k][order]
+    return out
+
+
+def batch_graphs(records: List[Dict[str, np.ndarray]]) -> GraphBatch:
+    """Stack host records (all same envelope) into a device GraphBatch."""
+    def stack(key):
+        return np.stack([r[key] for r in records], axis=0)
+
+    return GraphBatch(
+        senders=jnp.asarray(stack("senders")),
+        receivers=jnp.asarray(stack("receivers")),
+        node_id=jnp.asarray(stack("node_id")),
+        node_label=jnp.asarray(stack("node_label")),
+        edge_label=jnp.asarray(stack("edge_label")),
+        node_mask=jnp.asarray(stack("node_mask")),
+        edge_mask=jnp.asarray(stack("edge_mask")),
+        rev_flag=jnp.asarray(stack("rev_flag")),
+        n_node=jnp.asarray(np.stack([r["n_node"] for r in records])),
+        n_edge=jnp.asarray(np.stack([r["n_edge"] for r in records])),
+    )
+
+
+# =============================================================================
+# Internals
+# =============================================================================
+
+def _bincount_batched(idx: jnp.ndarray, mask: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[B, E] indices + mask -> [B, n] float32 counts (masked scatter-add)."""
+    ones = mask.astype(jnp.float32)
+    return jax.vmap(lambda i, w: jnp.zeros((n,), jnp.float32).at[i].add(w))(idx, ones)

@@ -1,0 +1,112 @@
+"""Encoders (frozen tables) and trainable embedding projections.
+
+Reference: /root/reference/SubgraphCountingMatching/models/embed.py:105-222.
+Encoders are frozen lookup tables (multi-hot digit encodings or sinusoidal
+positions) materialized host-side (ops/encoding.py) and constant-folded into
+the XLA program; embeddings are trainable projections of those encodings.
+
+Both accept integer ids (table lookup) or float one-hot/enc rows (matmul) —
+the dual calling convention of the reference `Embedding.forward`
+(embed.py:109-118).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from ..ops.encoding import get_enc_len, multihot_table, position_table
+from ..utils.init import kaiming_normal
+
+
+def _apply_table(table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Integer ids -> rows; float [...,N] -> matmul with the table."""
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        return table[x]
+    if x.shape[-1] == table.shape[0]:
+        return x @ table
+    raise ValueError(
+        f"embedding input last dim {x.shape[-1]} != num_embeddings {table.shape[0]}"
+    )
+
+
+class MultihotEncoder(nn.Module):
+    """Frozen multi-hot base-`base` digit encoding (embed.py:197-208)."""
+
+    max_n: int
+    base: int = 2
+
+    @property
+    def features(self) -> int:
+        return get_enc_len(self.max_n - 1, self.base) * self.base
+
+    @nn.compact
+    def __call__(self, x):
+        table = jnp.asarray(multihot_table(self.max_n, self.base))
+        return _apply_table(table, x)
+
+
+class PositionEncoder(nn.Module):
+    """Frozen sinusoidal position encoding (embed.py:211-222)."""
+
+    features: int
+    max_len: int = 512
+    scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        table = jnp.asarray(position_table(self.features, self.max_len, self.scale))
+        return _apply_table(table, x)
+
+
+class Embedding(nn.Module):
+    """Trainable embedding with init-by-name.
+
+    init semantics follow the reference classes (embed.py:124-194):
+      * "normal"      — N(0, 1)
+      * "uniform"     — U(-1, 1)
+      * "orthogonal"  — orthogonal rows
+      * "equivariant" — circulant: row i = roll(row 0, i), row 0 ~ N(0, 1)
+    The reference's EquivariantEmbedding trains the full materialized matrix
+    (forward always consumes `self.weight`, embed.py:182-187), so we do the
+    same: circulant *init*, dense trainable weight.
+
+    `scale` multiplies the weight once at init — this folds in the
+    1/(enc_dim//base) rescale of GraphAdjModelV2.create_emb_net
+    (basemodel.py:1066-1071).
+    """
+
+    num_embeddings: int
+    features: int
+    init: str = "orthogonal"
+    scale: float = 1.0
+
+    def _init_fn(self):
+        init = self.init
+
+        def f(key, shape, dtype=jnp.float32):
+            n, d = shape
+            if init == "normal":
+                w = jax.random.normal(key, shape, dtype)
+            elif init == "uniform":
+                w = jax.random.uniform(key, shape, dtype, minval=-1.0, maxval=1.0)
+            elif init == "orthogonal":
+                w = jax.nn.initializers.orthogonal()(key, shape, dtype)
+            elif init == "equivariant":
+                row = jax.random.normal(key, (d,), dtype)
+                idx = (jnp.arange(d)[None, :] - jnp.arange(n)[:, None]) % d
+                w = row[idx]
+            else:
+                raise ValueError(f"unknown embedding init '{init}'")
+            return w * self.scale
+
+        return f
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", self._init_fn(), (self.num_embeddings, self.features))
+        return _apply_table(w, x)

@@ -1,0 +1,130 @@
+"""Message-passing primitives: gather / segment-sum / SDDMM shapes.
+
+TPU-native replacement for DGL's fused `update_all`/`apply_edges` kernels that
+the reference delegates all message passing to (dmpnn.py:163-164,
+compgcn.py:271-272, rgcn.py:196, rgin.py:159). Per SURVEY.md §2.3 these are
+three primitives, not a UDF framework:
+
+  * `gather_nodes`   — edge-wise gather of node rows (src or dst)
+  * `scatter_sum_*`  — segment-sum of per-edge messages into node slots
+  * per-edge fused compute stays ordinary jnp on the VPU/MXU and lets XLA fuse
+
+Two interchangeable backends:
+
+  * ``onehot``  — express scatter/gather as one-hot einsums. Batched matmuls
+    land on the MXU and beat XLA's scatter on the small-graph envelopes of
+    the SCM workload (V<=128, E<=512).  O(E*V*H) FLOPs, which for these sizes
+    is cheaper than the memory-bound scatter it replaces.
+  * ``segment`` — `.at[].add()` scatter-add (XLA scatter) for large flat
+    graphs where O(E*V) is not affordable. The Pallas CSR kernel
+    (ops/pallas_scatter.py) plugs in behind the same signature.
+
+All functions take explicit masks; padded edges contribute zero.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+# Default V threshold under which the one-hot/MXU path wins over XLA scatter.
+_DENSE_V_LIMIT = 2048
+
+
+def gather_nodes(node_feat: Array, idx: Array) -> Array:
+    """Gather node rows per edge.
+
+    node_feat: [B, V, H]; idx: [B, E] -> [B, E, H].
+    """
+    return jnp.take_along_axis(node_feat, idx[..., None], axis=1)
+
+
+def scatter_sum_edges(
+    messages: Array,
+    receivers: Array,
+    edge_mask: Array,
+    num_nodes: int,
+    method: Optional[str] = None,
+) -> Array:
+    """Masked segment-sum of per-edge messages into node slots.
+
+    messages: [B, E, H]; receivers: [B, E] int; edge_mask: [B, E] bool
+    -> [B, V, H].
+
+    Equivalent of DGL's builtin reducer `fn.sum(msg, out)` (reference
+    dmpnn.py:92) over a padded batch.
+    """
+    if method is None:
+        method = "onehot" if num_nodes <= _DENSE_V_LIMIT else "segment"
+    msg = jnp.where(edge_mask[..., None], messages, 0)
+    if method == "onehot":
+        # [B, E, V] one-hot of receivers; padded edges all-zero rows.
+        oh = _masked_onehot(receivers, edge_mask, num_nodes, msg.dtype)
+        # [B,E,V]^T x [B,E,H] -> [B,V,H]: a batched matmul on the MXU.
+        return jnp.einsum("bev,beh->bvh", oh, msg)
+    elif method == "segment":
+        return jax.vmap(
+            lambda m, r: jnp.zeros((num_nodes,) + m.shape[1:], m.dtype).at[r].add(m)
+        )(msg, receivers)
+    raise ValueError(f"unknown scatter method: {method}")
+
+
+def scatter_sum_flat(
+    messages: Array,
+    receivers: Array,
+    edge_mask: Array,
+    num_nodes: int,
+) -> Array:
+    """Flat-graph segment-sum: messages [E, H], receivers [E] -> [V, H]."""
+    msg = jnp.where(edge_mask[..., None], messages, 0)
+    return jnp.zeros((num_nodes,) + msg.shape[1:], msg.dtype).at[receivers].add(msg)
+
+
+def scatter_max_edges(
+    messages: Array,
+    receivers: Array,
+    edge_mask: Array,
+    num_nodes: int,
+    neg_inf: float = -1e30,
+) -> Array:
+    """Masked segment-max (used by max-style readouts over incident edges)."""
+    msg = jnp.where(edge_mask[..., None], messages, neg_inf)
+    out = jax.vmap(
+        lambda m, r: jnp.full((num_nodes,) + m.shape[1:], neg_inf, m.dtype)
+        .at[r]
+        .max(m)
+    )(msg, receivers)
+    return jnp.where(out <= neg_inf / 2, 0.0, out)
+
+
+def segment_softmax_edges(
+    scores: Array,
+    receivers: Array,
+    edge_mask: Array,
+    num_nodes: int,
+) -> Array:
+    """Per-destination softmax over incident edges (attention-style GNNs).
+
+    scores: [B, E] -> [B, E] normalized within each receiver segment.
+    """
+    neg_inf = -1e30
+    s = jnp.where(edge_mask, scores, neg_inf)
+    seg_max = jax.vmap(
+        lambda m, r: jnp.full((num_nodes,), neg_inf, m.dtype).at[r].max(m)
+    )(s, receivers)
+    s = s - jnp.take_along_axis(seg_max, receivers, axis=1)
+    ex = jnp.where(edge_mask, jnp.exp(s), 0.0)
+    seg_sum = jax.vmap(
+        lambda m, r: jnp.zeros((num_nodes,), m.dtype).at[r].add(m)
+    )(ex, receivers)
+    denom = jnp.take_along_axis(seg_sum, receivers, axis=1)
+    return ex / jnp.maximum(denom, 1e-30)
+
+
+def _masked_onehot(idx: Array, mask: Array, n: int, dtype) -> Array:
+    oh = jax.nn.one_hot(idx, n, dtype=dtype)
+    return jnp.where(mask[..., None], oh, 0)

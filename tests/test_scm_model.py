@@ -1,0 +1,117 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dualmessagepassing_tpu import ModelConfig, batch_graphs, build_model, single_graph
+from dualmessagepassing_tpu.graph import add_reversed_edges
+
+
+def make_pair_batch(rng, bsz=2, pv=4, pe=6, gv=8, ge=16, nvl=3, nel=3):
+    pats, gras = [], []
+    for _ in range(bsz):
+        pats.append(single_graph(
+            pv, rng.integers(0, pv, size=pe), rng.integers(0, pv, size=pe),
+            node_labels=rng.integers(0, nvl, size=pv),
+            edge_labels=rng.integers(0, nel, size=pe),
+            v_max=pv, e_max=pe))
+        gras.append(single_graph(
+            gv, rng.integers(0, gv, size=ge), rng.integers(0, gv, size=ge),
+            node_labels=rng.integers(0, nvl, size=gv),
+            edge_labels=rng.integers(0, nel, size=ge),
+            v_max=gv, e_max=ge))
+    return batch_graphs(pats), batch_graphs(gras)
+
+
+def small_config(**kw):
+    base = dict(
+        max_ngv=8, max_ngvl=3, max_nge=16, max_ngel=3,
+        max_npv=4, max_npvl=3, max_npe=6, max_npel=3,
+        hid_dim=16, rep_num_pattern_layers=2, rep_num_graph_layers=2,
+        pred_hid_dim=16, filter_net="ScalarFilter",
+        pred_return_weights="nodeedge",
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def test_dmpnn_forward_shapes(rng):
+    pattern, graph = make_pair_batch(rng)
+    cfg = small_config()
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), pattern, graph)
+    out = model.apply(params, pattern, graph)
+    assert out["pred_c"].shape == (2, 1)
+    assert out["pred_v"].shape == (2, 8)
+    assert out["pred_e"].shape == (2, 16)
+    assert out["g_v_rep"].shape == (2, 8, 16)
+    assert out["g_e_rep"].shape == (2, 16, 16)
+    assert np.all(np.isfinite(np.asarray(out["pred_c"])))
+
+
+def test_dmpnn_jit_and_grad(rng):
+    pattern, graph = make_pair_batch(rng)
+    cfg = small_config()
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), pattern, graph)
+
+    @jax.jit
+    def loss_fn(p):
+        out = model.apply(p, pattern, graph)
+        # pred_fc2 is zero-init (reference pred.py:50), so pred_c == 0 at
+        # init; include reps so every path carries gradient.
+        return (jnp.mean((out["pred_c"] - 1.0) ** 2)
+                + jnp.mean(out["g_v_rep"] ** 2)
+                + jnp.mean(out["g_e_rep"] ** 2))
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+    # rep-net weights receive gradient
+    gn = np.asarray(
+        g["params"]["g_rep_net"]["dmpnn_0"]["in_weight"]
+    )
+    assert np.abs(gn).sum() > 0
+
+
+def test_dmpnn_with_extras(rng):
+    """pred_with_enc + pred_with_deg + add ids + reversed edges."""
+    pats, gras = [], []
+    for _ in range(2):
+        p = single_graph(4, rng.integers(0, 4, 6), rng.integers(0, 4, 6),
+                         node_labels=rng.integers(0, 3, 4),
+                         edge_labels=rng.integers(0, 3, 6),
+                         v_max=4, e_max=6)
+        g = single_graph(8, rng.integers(0, 8, 16), rng.integers(0, 8, 16),
+                         node_labels=rng.integers(0, 3, 8),
+                         edge_labels=rng.integers(0, 3, 16),
+                         v_max=8, e_max=16)
+        pats.append(add_reversed_edges(p, 3))
+        gras.append(add_reversed_edges(g, 3))
+    pattern, graph = batch_graphs(pats), batch_graphs(gras)
+    cfg = small_config(
+        max_nge=32, max_npe=12, max_ngel=6, max_npel=6,
+        pred_with_enc=True, pred_with_deg=True,
+        gnn_add_node_id=True, gnn_add_edge_id=True,
+    )
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), pattern, graph)
+    out = model.apply(params, pattern, graph)
+    assert np.all(np.isfinite(np.asarray(out["pred_c"])))
+    # reversed edges are masked out of the edge prediction mask
+    assert np.asarray(out["g_e_mask"]).sum() == 2 * 16
+
+
+def test_share_rep_net_parameter_count(rng):
+    pattern, graph = make_pair_batch(rng)
+    n_shared = sum(
+        x.size for x in jax.tree.leaves(
+            build_model(small_config(share_rep_net=True)).init(
+                jax.random.PRNGKey(0), pattern, graph))
+    )
+    n_sep = sum(
+        x.size for x in jax.tree.leaves(
+            build_model(small_config(share_rep_net=False)).init(
+                jax.random.PRNGKey(0), pattern, graph))
+    )
+    assert n_sep > n_shared
