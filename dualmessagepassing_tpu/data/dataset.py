@@ -1,0 +1,137 @@
+"""SCM dataset container + collate (GraphAdjDataset equivalent).
+
+Reference: /root/reference/SubgraphCountingMatching/dataset.py:1376-1636.
+Records are host numpy dicts (graph.py single_graph records); batchify
+produces device GraphBatch pairs + count/weight targets. Weight derivation
+from stored subisomorphism lists happens lazily and is cached on the record
+(dataset.py:1620-1634).
+
+Dataset-level transforms mirror the in-driver mutations of the reference
+train.py: remove_loops (252-270), add_reversed_edges (273-327),
+calculate_degrees/eigenvalues (330-380).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import graph as G
+from ..ops.spectral import largest_eigenvalue_bounds_np
+from .subiso import edge_subiso_weights, node_subiso_weights
+
+
+class GraphAdjDataset:
+    def __init__(self, data: Optional[List[Dict]] = None):
+        self.data: List[Dict] = data or []
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx):
+        return self.data[idx]
+
+    # ---- persistence (dataset.py:1396-1420, .pt pickles -> plain pickle) ----
+    def save(self, filename: str):
+        with open(filename, "wb") as f:
+            pickle.dump(self.data, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+    def load(self, filename: str) -> "GraphAdjDataset":
+        with open(filename, "rb") as f:
+            self.data = pickle.load(f)
+        return self
+
+    # ---- transforms ---------------------------------------------------------
+    def add_reversed_edges(self, num_p_elabels: int, num_g_elabels: int):
+        """train.py:273-327: reversed edges on both pattern and graph; edge
+        weights of the reversed half are never used (masked by rev_flag in
+        the loss), stored as a copy like the reference's .repeat(2)."""
+        for x in self.data:
+            x["pattern"] = G.add_reversed_edges(x["pattern"], num_p_elabels)
+            x["graph"] = G.add_reversed_edges(x["graph"], num_g_elabels)
+            if "edge_weights" in x and x["edge_weights"] is not None:
+                x["edge_weights"] = np.concatenate(
+                    [x["edge_weights"], x["edge_weights"]]
+                )
+        return self
+
+    def compute_eigenvalue_bounds(self) -> Tuple[float, float]:
+        """max over graphs of the spectral bounds, clamped >= 4.0
+        (train.py:1174-1186)."""
+        max_n, max_e = 4.0, 4.0
+        for x in self.data:
+            for key in ("pattern", "graph"):
+                rec = x[key]
+                em = rec["edge_mask"].astype(bool)
+                ne, ee = largest_eigenvalue_bounds_np(
+                    rec["senders"], rec["receivers"], int(rec["n_node"]), em
+                )
+                max_n, max_e = max(max_n, ne), max(max_e, ee)
+        return max_n, max_e
+
+    def sizes(self) -> List[Dict[str, int]]:
+        """Per-record size metadata for the bucket/curriculum samplers
+        (sampler group_by keys g_len / p_len)."""
+        return [
+            {
+                "g_len": int(x["graph"]["n_edge"]),
+                "p_len": int(x["pattern"]["n_edge"]),
+            }
+            for x in self.data
+        ]
+
+    # ---- collate ------------------------------------------------------------
+    def batchify(self, indices: Sequence[int], return_weights: str = "none"):
+        """-> (ids, pattern GraphBatch, graph GraphBatch, counts [B,1] f32,
+        (node_weights [B,V] f32 | None, edge_weights [B,E] f32 | None))."""
+        batch = [self.data[i] for i in indices]
+        ids = [x["id"] for x in batch]
+        pattern = G.batch_graphs([x["pattern"] for x in batch])
+        graph = G.batch_graphs([x["graph"] for x in batch])
+        counts = np.asarray([x["counts"] for x in batch], np.float32)[:, None]
+
+        node_w = edge_w = None
+        if "node" in return_weights:
+            node_w = np.stack([
+                _padded(self._node_weights(x), x["graph"]["node_mask"].shape[0])
+                for x in batch
+            ])
+        if "edge" in return_weights:
+            edge_w = np.stack([
+                _padded(self._edge_weights(x), x["graph"]["edge_mask"].shape[0])
+                for x in batch
+            ])
+        import jax.numpy as jnp
+        counts = jnp.asarray(counts)
+        node_w = jnp.asarray(node_w) if node_w is not None else None
+        edge_w = jnp.asarray(edge_w) if edge_w is not None else None
+        return ids, pattern, graph, counts, (node_w, edge_w)
+
+    def _node_weights(self, x) -> np.ndarray:
+        if x.get("node_weights") is None:
+            x["node_weights"] = node_subiso_weights(
+                int(x["graph"]["n_node"]), x["subisomorphisms"]
+            )
+        return x["node_weights"]
+
+    def _edge_weights(self, x) -> np.ndarray:
+        if x.get("edge_weights") is None:
+            rec = x["graph"]
+            prec = x["pattern"]
+            em = rec["edge_mask"].astype(bool)
+            pm = prec["edge_mask"].astype(bool) & ~prec["rev_flag"]
+            w = edge_subiso_weights(
+                prec["senders"][pm], prec["receivers"][pm], prec["edge_label"][pm],
+                rec["senders"][em], rec["receivers"][em], rec["edge_label"][em],
+                x["subisomorphisms"],
+            )
+            x["edge_weights"] = w
+        return x["edge_weights"]
+
+
+def _padded(w: np.ndarray, n: int) -> np.ndarray:
+    out = np.zeros((n,), np.float32)
+    out[: len(w)] = w
+    return out

@@ -1,0 +1,76 @@
+"""Synthetic (pattern, graph) pair generation with exact ground truth.
+
+The reference datasets (Erdős–Rényi / Regular / Complex / MUTAG) are external
+downloads produced by a generator + subiso solver; to make this framework
+runnable end-to-end in-repo we generate Erdős–Rényi-style pairs and compute
+counts/subisomorphisms with the brute-force oracle (data/subiso.py).
+Envelope conventions follow the reference dataset caps
+(SubgraphCountingMatching/README.md:38-43: pattern <=4V/10E, graph <=10V/48E
+for the ER set).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..graph import single_graph
+from .subiso import edge_subiso_weights, enumerate_subisomorphisms, node_subiso_weights
+
+
+def random_multidigraph(rng, num_nodes, num_edges, num_vlabels, num_elabels,
+                        connected_bias=True):
+    """Random directed (multi)graph without self loops."""
+    senders = rng.integers(0, num_nodes, size=num_edges)
+    offs = rng.integers(1, max(num_nodes, 2), size=num_edges)
+    receivers = (senders + offs) % num_nodes  # no self loops
+    vlabels = rng.integers(0, num_vlabels, size=num_nodes)
+    elabels = rng.integers(0, num_elabels, size=num_edges)
+    return senders.astype(np.int64), receivers.astype(np.int64), \
+        vlabels.astype(np.int64), elabels.astype(np.int64)
+
+
+def generate_pair(
+    rng,
+    pv: int = 3, pe: int = 3, gv: int = 8, ge: int = 16,
+    num_vlabels: int = 2, num_elabels: int = 2,
+    p_v_max: Optional[int] = None, p_e_max: Optional[int] = None,
+    g_v_max: Optional[int] = None, g_e_max: Optional[int] = None,
+    pair_id: str = "0-0",
+) -> Dict:
+    """One dataset record: pattern/graph records + counts + subisomorphisms +
+    derived node/edge weights (the reference stores these in metadata CSVs,
+    utils/io.py:43-142, and derives weights lazily, dataset.py:1491-1520).
+    """
+    ps, pr, pvl, pel = random_multidigraph(rng, pv, pe, num_vlabels, num_elabels)
+    gs, gr, gvl, gel = random_multidigraph(rng, gv, ge, num_vlabels, num_elabels)
+
+    subiso = enumerate_subisomorphisms(ps, pr, pvl, pel, gs, gr, gvl, gel)
+    counts = subiso.shape[0]
+    node_w = node_subiso_weights(gv, subiso)
+    edge_w = edge_subiso_weights(ps, pr, pel, gs, gr, gel, subiso)
+
+    return {
+        "id": pair_id,
+        "pattern": single_graph(pv, ps, pr, pvl, pel,
+                                v_max=p_v_max or pv, e_max=p_e_max or pe),
+        "graph": single_graph(gv, gs, gr, gvl, gel,
+                              v_max=g_v_max or gv, e_max=g_e_max or ge),
+        "counts": counts,
+        "subisomorphisms": subiso,
+        "node_weights": node_w,
+        "edge_weights": edge_w,
+    }
+
+
+def generate_dataset(
+    n_pairs: int,
+    seed: int = 0,
+    **kw,
+) -> List[Dict]:
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n_pairs):
+        out.append(generate_pair(rng, pair_id=f"P{i}-G{i}", **kw))
+    return out

@@ -1,0 +1,205 @@
+"""SCM training/evaluation driver: jitted train step, epoch loops, metrics.
+
+Reference: /root/reference/SubgraphCountingMatching/train.py:449-1061.
+Differences forced by the TPU design:
+  * one jitted train_step covers every schedule step — schedule scalars
+    (neg_slope, loss weights, lr multiplier) enter as traced arguments;
+  * batches come from the bucket samplers at a fixed (V_max, E_max)
+    envelope, so a single compiled program serves the whole epoch.
+
+Evaluation metrics (train.py:847-1061): MAE, MSE, RMSE on relu'd counts,
+AUC of count>0 detection, MNED/MEED (mean per-graph L1 distance between
+predicted and gold node/edge weight vectors), plus timing.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..graph import GraphBatch
+from .losses import eval_criterion, scm_loss
+from .schedules import lr_schedule, scalar_schedule
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+def make_optimizer(lr: float, weight_decay: float = 1e-5,
+                   max_grad_norm: float = 8.0) -> optax.GradientTransformation:
+    """AdamW(amsgrad) + global-norm clip (train.py:1231, clip 8.0).
+
+    optax has no amsgrad flag on adamw; compose amsgrad + decoupled weight
+    decay + clip explicitly to match torch AdamW(amsgrad=True).
+    """
+    chain = []
+    if max_grad_norm and max_grad_norm > 0:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(optax.scale_by_amsgrad())
+    if weight_decay:
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(optax.scale(-lr))
+    return optax.chain(*chain)
+
+
+def make_train_step(model, tx, bp_loss: str = "MSE",
+                    return_weights: str = "none") -> Callable:
+    """Jitted (state, batch, scalars) -> (state, losses)."""
+
+    use_node_w = "node" in return_weights
+    use_edge_w = "edge" in return_weights
+
+    @jax.jit
+    def train_step(state: TrainState, pattern: GraphBatch, graph: GraphBatch,
+                   counts, node_weights, edge_weights,
+                   neg_slope, match_loss_w, match_reg_w, rep_reg_w,
+                   lr_mult, dropout_rng):
+        def loss_fn(params):
+            out = model.apply(params, pattern, graph, train=True,
+                              rngs={"dropout": dropout_rng})
+            losses = scm_loss(
+                out, counts,
+                node_weights if use_node_w else None,
+                edge_weights if use_edge_w else None,
+                bp_loss=bp_loss, neg_slope=neg_slope,
+                match_loss_w=match_loss_w, match_reg_w=match_reg_w,
+                rep_reg_w=rep_reg_w,
+            )
+            return losses["total"], losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * lr_mult, updates)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), losses
+
+    return train_step
+
+
+def make_eval_step(model) -> Callable:
+    @jax.jit
+    def eval_step(params, pattern: GraphBatch, graph: GraphBatch):
+        out = model.apply(params, pattern, graph, train=False)
+        return (out["pred_c"], out["pred_v"], out["pred_e"],
+                out["g_v_mask"], out["g_e_mask"])
+
+    return eval_step
+
+
+def train_epoch(
+    state: TrainState,
+    train_step: Callable,
+    dataset,
+    sampler,
+    config: Dict[str, Any],
+    epoch: int,
+    rng_key,
+    log_fn: Optional[Callable[[str], None]] = None,
+) -> Tuple[TrainState, Dict[str, float]]:
+    """One epoch over sampler batches (train.py:486-784)."""
+    epoch_steps = len(sampler)
+    total_steps = config.get("train_epochs", 100) * max(epoch_steps, 1)
+    neg_slp_s = scalar_schedule(config.get("neg_pred_slp", 0.2), total_steps)
+    match_w_s = scalar_schedule(config.get("match_loss_w", 0.0), total_steps)
+    match_r_s = scalar_schedule(config.get("match_reg_w", 0.0), total_steps)
+    rep_r_s = scalar_schedule(config.get("rep_reg_w", 0.0), total_steps)
+    lr_s = lr_schedule(
+        config.get("scheduler", "constant"),
+        num_warmup_steps=config.get("num_warmup_steps", 0),
+        num_schedule_steps=total_steps,
+        num_cycles=config.get("num_cycles", 2),
+    )
+    return_weights = config.get("pred_return_weights", "none")
+
+    totals = {"total": 0.0, "count_loss": 0.0, "match_v_loss": 0.0,
+              "match_e_loss": 0.0, "rep_reg": 0.0}
+    n = 0
+    for batch_id, idx in enumerate(sampler):
+        ids, pattern, graph, counts, (nw, ew) = dataset.batchify(
+            idx, return_weights)
+        step = epoch * epoch_steps + batch_id
+        rng_key, drop_key = jax.random.split(rng_key)
+        state, losses = train_step(
+            state, pattern, graph, counts,
+            nw if nw is not None else jnp.zeros_like(graph.node_mask, jnp.float32),
+            ew if ew is not None else jnp.zeros_like(graph.edge_mask, jnp.float32),
+            jnp.float32(neg_slp_s(step)), jnp.float32(match_w_s(step)),
+            jnp.float32(match_r_s(step)), jnp.float32(rep_r_s(step)),
+            jnp.float32(lr_s(step)), drop_key,
+        )
+        bsz = counts.shape[0]
+        n += bsz
+        for k in totals:
+            totals[k] += float(losses[k]) * bsz
+        if log_fn and batch_id % config.get("log_every", 100) == 0:
+            log_fn(f"epoch {epoch} step {batch_id}/{epoch_steps} "
+                   f"loss {float(losses['total']):.6f}")
+    return state, {k: v / max(n, 1) for k, v in totals.items()}
+
+
+def evaluate_epoch(
+    params,
+    eval_step: Callable,
+    dataset,
+    sampler,
+    return_weights: str = "none",
+) -> Dict[str, Any]:
+    """Eval metrics suite (train.py:847-1061)."""
+    preds, golds = [], []
+    neds, eeds = [], []
+    t_total = 0.0
+    n_items = 0
+    for idx in sampler:
+        ids, pattern, graph, counts, (nw, ew) = dataset.batchify(
+            idx, return_weights)
+        t0 = time.perf_counter()
+        pred_c, pred_v, pred_e, g_v_mask, g_e_mask = eval_step(
+            params, pattern, graph)
+        pred_c.block_until_ready()
+        t_total += time.perf_counter() - t0
+        n_items += counts.shape[0]
+        preds.append(np.asarray(pred_c)[:, 0])
+        golds.append(np.asarray(counts)[:, 0])
+        if pred_v is not None and nw is not None:
+            pv = np.maximum(np.asarray(pred_v), 0) * np.asarray(g_v_mask)
+            w = np.asarray(nw) * np.asarray(g_v_mask)
+            neds.append(np.abs(pv - w).sum(axis=1))
+        if pred_e is not None and ew is not None:
+            pe = np.maximum(np.asarray(pred_e), 0) * np.asarray(g_e_mask)
+            w = np.asarray(ew) * np.asarray(g_e_mask)
+            eeds.append(np.abs(pe - w).sum(axis=1))
+
+    pred = np.concatenate(preds) if preds else np.zeros(0)
+    gold = np.concatenate(golds) if golds else np.zeros(0)
+    pred_relu = np.maximum(pred, 0)
+    ae = np.abs(pred_relu - gold)
+    se = (pred_relu - gold) ** 2
+    results: Dict[str, Any] = {
+        "MAE": float(ae.mean()) if len(ae) else float("nan"),
+        "MSE": float(se.mean()) if len(se) else float("nan"),
+        "RMSE": float(np.sqrt(se.mean())) if len(se) else float("nan"),
+        "time_avg": t_total / max(n_items, 1),
+        "time_total": t_total,
+    }
+    # AUC of count>0 detection (train.py:1002-1015)
+    if len(gold) and (gold > 0).any() and (gold <= 0).any():
+        try:
+            from sklearn.metrics import roc_auc_score
+            results["AUC"] = float(roc_auc_score(gold > 0, pred_relu))
+        except Exception:
+            results["AUC"] = float("nan")
+    else:
+        results["AUC"] = float("nan")
+    results["MNED"] = float(np.concatenate(neds).mean()) if neds else float("nan")
+    results["MEED"] = float(np.concatenate(eeds).mean()) if eeds else float("nan")
+    return results
