@@ -109,6 +109,78 @@ class GraphAdjDataset:
         edge_w = jnp.asarray(edge_w) if edge_w is not None else None
         return ids, pattern, graph, counts, (node_w, edge_w)
 
+    def batchify_edgeseq(self, indices: Sequence[int],
+                         return_weights: str = "none"):
+        """EdgeSeq collate (EdgeSeqDataset.batchify, dataset.py:995-1050):
+        tuples sorted lexicographically; edge weights follow the sort."""
+        batch = [self.data[i] for i in indices]
+        ids = [x["id"] for x in batch]
+        p_seqs = [G.record_to_edgeseq(x["pattern"]) for x in batch]
+        g_seqs = [G.record_to_edgeseq(x["graph"]) for x in batch]
+        pattern = G.batch_edgeseqs(p_seqs)
+        graph = G.batch_edgeseqs(g_seqs)
+        counts = np.asarray([x["counts"] for x in batch], np.float32)[:, None]
+
+        edge_w = None
+        if "edge" in return_weights:
+            rows = []
+            for x, seq in zip(batch, g_seqs):
+                w = self._edge_weights(x)
+                e_max = x["graph"]["edge_mask"].shape[0]
+                padded = np.zeros((e_max,), np.float32)
+                w_sorted = np.asarray(w, np.float32)[
+                    seq["order"][seq["order"] < len(w)]
+                ] if len(w) else np.zeros(0, np.float32)
+                padded[: len(w_sorted)] = w_sorted
+                rows.append(padded)
+            edge_w = np.stack(rows)
+        import jax.numpy as jnp
+        counts = jnp.asarray(counts)
+        edge_w = jnp.asarray(edge_w) if edge_w is not None else None
+        return ids, pattern, graph, counts, (None, edge_w)
+
+    def batchify_lrp(self, indices: Sequence[int],
+                     return_weights: str = "none", seq_len: int = 4):
+        """LRP collate (LRPDataset.batchify, dataset.py:1862-1905): graph
+        batch + fixed-size perm index tensors (cached per record)."""
+        from ..models.lrp import LRPGraphBatch
+        from .lrp import count_perms, record_to_lrp_perms
+        import jax.numpy as jnp
+
+        batch = [self.data[i] for i in indices]
+        ids, pattern, graph, counts, weights = self.batchify(
+            indices, return_weights)
+
+        def perm_arrays(which):
+            key = f"_lrp_{which}"
+            p_max = max(
+                count_perms(x[which], seq_len) for x in batch) or 1
+            rows = []
+            for x in batch:
+                cached = x.get(key)
+                if cached is None or cached["perm_node"].shape[0] < p_max:
+                    cached = record_to_lrp_perms(x[which], seq_len, p_max)
+                    x[key] = cached
+                rows.append(cached)
+            return {
+                k: jnp.asarray(np.stack([
+                    r[k][:p_max] if r[k].ndim else r[k] for r in rows]))
+                for k in ("perm_node", "perm_node_mask", "perm_edge",
+                          "perm_edge_mask", "perm_owner", "perm_mask")
+            }
+
+        def lift(gb, perms):
+            return LRPGraphBatch(
+                senders=gb.senders, receivers=gb.receivers,
+                node_id=gb.node_id, node_label=gb.node_label,
+                edge_label=gb.edge_label, node_mask=gb.node_mask,
+                edge_mask=gb.edge_mask, rev_flag=gb.rev_flag,
+                n_node=gb.n_node, n_edge=gb.n_edge, **perms)
+
+        pattern = lift(pattern, perm_arrays("pattern"))
+        graph = lift(graph, perm_arrays("graph"))
+        return ids, pattern, graph, counts, weights
+
     def _node_weights(self, x) -> np.ndarray:
         if x.get("node_weights") is None:
             x["node_weights"] = node_subiso_weights(

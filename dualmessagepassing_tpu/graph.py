@@ -126,6 +126,81 @@ class FlatGraph:
         return self.senders.shape[0]
 
 
+@struct.dataclass
+class EdgeSeqBatch:
+    """Graph-as-edge-sequence container (reference `EdgeSeq`,
+    dataset.py:111-769): tuples (u, v, ul, el, vl) sorted lexicographically
+    by (u, v, el), padded to a static L per batch (post-pad convention)."""
+
+    u: jnp.ndarray        # [B, L] int32
+    v: jnp.ndarray
+    ul: jnp.ndarray
+    el: jnp.ndarray
+    vl: jnp.ndarray
+    mask: jnp.ndarray     # [B, L] bool
+    rev_flag: jnp.ndarray # [B, L] bool
+    n_tuple: jnp.ndarray  # [B] int32
+    # padded node-count axis for degree gathers (static)
+    num_nodes: int = struct.field(pytree_node=False)
+
+    @property
+    def batch_size(self) -> int:
+        return self.u.shape[0]
+
+    @property
+    def max_len(self) -> int:
+        return self.u.shape[1]
+
+    def out_degrees(self) -> jnp.ndarray:
+        """[B, num_nodes] out-degrees over real tuples."""
+        return _bincount_batched(self.u, self.mask, self.num_nodes)
+
+    def in_degrees(self) -> jnp.ndarray:
+        return _bincount_batched(self.v, self.mask, self.num_nodes)
+
+
+def record_to_edgeseq(rec: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Graph record -> edge-sequence record (EdgeSeq.from_graph semantics:
+    tuples sorted lexicographically by (u, v, el), dataset.py:111-769).
+    Returns the sort permutation as "order" so per-edge targets can follow.
+    """
+    em = rec["edge_mask"].astype(bool)
+    n_edge = int(rec["n_edge"])
+    e_max = em.shape[0]
+    u = rec["senders"][em]
+    v = rec["receivers"][em]
+    el = rec["edge_label"][em]
+    nl = rec["node_label"]
+    order = np.lexsort((el, v, u))
+
+    def pad(x, fill=0):
+        out = np.full((e_max,), fill, x.dtype)
+        out[: n_edge] = x[order]
+        return out
+
+    return {
+        "u": pad(u), "v": pad(v), "el": pad(el),
+        "ul": pad(nl[u]), "vl": pad(nl[v]),
+        "mask": np.arange(e_max) < n_edge,
+        "rev_flag": pad(rec["rev_flag"][em]),
+        "n_tuple": np.int32(n_edge),
+        "num_nodes": int(rec["node_mask"].shape[0]),
+        "order": order,
+    }
+
+
+def batch_edgeseqs(records: List[Dict[str, np.ndarray]]) -> EdgeSeqBatch:
+    def stack(key):
+        return jnp.asarray(np.stack([r[key] for r in records], axis=0))
+
+    return EdgeSeqBatch(
+        u=stack("u"), v=stack("v"), ul=stack("ul"), el=stack("el"),
+        vl=stack("vl"), mask=stack("mask"), rev_flag=stack("rev_flag"),
+        n_tuple=jnp.asarray(np.stack([r["n_tuple"] for r in records])),
+        num_nodes=max(r["num_nodes"] for r in records),
+    )
+
+
 # =============================================================================
 # Host-side builders (numpy): the input pipeline constructs these, then the
 # arrays are shipped to device once per batch.

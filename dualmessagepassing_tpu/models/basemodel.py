@@ -71,20 +71,37 @@ class ModelConfig:
     rep_dmpnn_batch_norm: bool = False
     init_neigenv: float = 4.0
     init_eeigenv: float = 4.0
-    # CompGCN-specific
-    rep_compgcn_num_mlp_layers: int = 2
+    # CompGCN-specific (config.py:168-190)
+    rep_compgcn_comp_opt: str = "corr"
+    rep_compgcn_edge_norm: str = "none"
     rep_compgcn_batch_norm: bool = False
-    rep_compgcn_comp_opt: str = "mult"
-    rep_compgcn_use_bn_w: bool = True
-    # RGCN/RGIN-specific
-    rep_rgcn_num_bases: int = 8
-    rep_rgcn_regularizer: str = "basis"
-    rep_rgin_num_bases: int = 8
-    rep_rgin_regularizer: str = "basis"
+    # RGCN/RGIN-specific (config.py:105-165)
+    rep_rgcn_num_bases: int = 4
+    rep_rgcn_regularizer: str = "bdd"
+    rep_rgcn_edge_norm: str = "in"
+    rep_rgcn_batch_norm: bool = False
+    rep_rgin_num_bases: int = 4
+    rep_rgin_regularizer: str = "bdd"
     rep_rgin_num_mlp_layers: int = 2
     rep_rgin_batch_norm: bool = False
+    # CNN-specific (config.py:13-35)
+    rep_cnn_batch_norm: bool = True
+    rep_cnn_kernel_sizes: Tuple[int, ...] = (2,)
+    rep_cnn_paddings: Tuple[int, ...] = (-1,)
+    rep_cnn_strides: Tuple[int, ...] = (1,)
+    # RNN-specific (config.py:38-58)
+    rep_rnn_type: str = "LSTM"
+    rep_rnn_bidirectional: bool = False
+    rep_rnn_layer_norm: bool = False
+    # TXL-specific (config.py:61-102)
+    rep_txl_num_heads: int = 4
+    rep_txl_seg_len: int = 64
+    rep_txl_mem_len: int = 64
+    rep_txl_clamp_len: int = -1
+    rep_txl_pre_norm: bool = True
     # LRP-specific
     lrp_seq_len: int = 4
+    rep_lrp_batch_norm: bool = False
     # id-augmentation
     gnn_add_node_id: bool = False
     gnn_add_edge_id: bool = False
@@ -129,10 +146,11 @@ class ModelConfig:
 
 
 class EncNet(nn.Module):
-    """Frozen encoder bundle {v, vl, el} (basemodel.py:973-1016)."""
+    """Frozen encoder bundle {v, vl[, el]} (basemodel.py:624-662,973-1016)."""
 
     cfg: ModelConfig
     which: str  # "graph" | "pattern"
+    include_el: bool = True
 
     def setup(self):
         cfg = self.cfg
@@ -143,12 +161,14 @@ class EncNet(nn.Module):
         if cfg.enc_net == "Multihot":
             self.v = MultihotEncoder(nv, cfg.base)
             self.vl = MultihotEncoder(nvl, cfg.base)
-            self.el = MultihotEncoder(nel, cfg.base)
+            if self.include_el:
+                self.el = MultihotEncoder(nel, cfg.base)
         elif cfg.enc_net == "Position":
             d = self.cfg.enc_dims(self.which)
             self.v = PositionEncoder(d["v"], nv)
             self.vl = PositionEncoder(d["vl"], nvl)
-            self.el = PositionEncoder(d["el"], nel)
+            if self.include_el:
+                self.el = PositionEncoder(d["el"], nel)
         else:
             raise NotImplementedError(f"enc_net {cfg.enc_net}")
 
@@ -156,9 +176,10 @@ class EncNet(nn.Module):
         enc = {
             "v": self.v(graph.node_id),
             "vl": self.vl(graph.node_label),
-            "el": self.el(graph.edge_label),
         }
-        if self.cfg.gnn_add_edge_id:
+        if self.include_el:
+            enc["el"] = self.el(graph.edge_label)
+        if self.include_el and self.cfg.gnn_add_edge_id:
             enc["src"] = jnp.take_along_axis(
                 enc["v"], graph.senders[..., None], axis=1
             )
@@ -169,26 +190,40 @@ class EncNet(nn.Module):
 
 
 class EmbNet(nn.Module):
-    """Trainable embedding bundle with 1/enc_len rescale (basemodel.py:1028-1072)."""
+    """Trainable embedding bundle with 1/enc_len rescale (basemodel.py:1028-1072).
+
+    Note: the node-only GraphAdjModel scaffold uses BaseModel.create_emb_net,
+    which does NOT apply the 1/enc_len rescale (basemodel.py:69-91); only
+    GraphAdjModelV2 overrides it with the rescale. `rescale` mirrors that.
+    """
 
     cfg: ModelConfig
     which: str
+    include_el: bool = True
+    rescale: bool = True
 
     def setup(self):
         cfg = self.cfg
         dims = cfg.enc_dims(self.which)
         init = cfg.emb_net.lower()
         h = cfg.hid_dim
-        # scale 1/(enc_dim // base) = 1/enc_len (basemodel.py:1066-1071)
-        self.v = Embedding(dims["v"], h, init=init, scale=cfg.base / dims["v"])
-        self.vl = Embedding(dims["vl"], h, init=init, scale=cfg.base / dims["vl"])
-        self.el = Embedding(dims["el"], h, init=init, scale=cfg.base / dims["el"])
 
-    def __call__(self, enc: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        def scale(d):
+            # 1/(enc_dim // base) = 1/enc_len (basemodel.py:1066-1071)
+            return cfg.base / d if self.rescale else 1.0
+
+        self.v = Embedding(dims["v"], h, init=init, scale=scale(dims["v"]))
+        self.vl = Embedding(dims["vl"], h, init=init, scale=scale(dims["vl"]))
+        if self.include_el:
+            self.el = Embedding(dims["el"], h, init=init, scale=scale(dims["el"]))
+
+    def __call__(self, enc: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         cfg = self.cfg
         v_emb = self.vl(enc["vl"])
         if cfg.gnn_add_node_id:
             v_emb = v_emb + self.v(enc["v"])
+        if not self.include_el:
+            return v_emb, None
         e_emb = self.el(enc["el"])
         if cfg.gnn_add_edge_id:
             e_emb = e_emb + self.v(enc["src"]) + self.v(enc["dst"])
@@ -241,10 +276,10 @@ class GraphAdjModelV2(nn.Module):
             )
 
     # ---- hooks overridden by LRP variants -----------------------------------
-    def refine_node_weights(self, w):
+    def refine_node_weights(self, w, use_max=False):
         return w
 
-    def refine_edge_weights(self, w):
+    def refine_edge_weights(self, w, use_max=False):
         return w
 
     # ---- filter gates (basemodel.py:1394-1423) ------------------------------
@@ -404,4 +439,103 @@ class GraphAdjModelV2(nn.Module):
             "p_v_mask": p_v_mask, "p_e_mask": p_e_mask,
             "g_v_mask": g_v_mask, "g_e_mask": g_e_mask,
             "pred_c": pred_c, "pred_v": pred_v, "pred_e": pred_e,
+        }
+
+
+class GraphAdjModel(nn.Module):
+    """Node-only GNN scaffold (basemodel.py:619-962) — RGCN / RGIN family.
+
+    The representation net consumes (graph, v_emb, v_gate) and the integer
+    edge labels as relation types; there is no learned edge stream.
+    """
+
+    cfg: ModelConfig
+
+    def make_rep_net(self) -> nn.Module:
+        raise NotImplementedError
+
+    def setup(self):
+        cfg = self.cfg
+        self.g_enc_net = EncNet(cfg, "graph", include_el=False)
+        if not cfg.share_enc_net:
+            self.p_enc_net = EncNet(cfg, "pattern", include_el=False)
+        # BaseModel.create_emb_net has no 1/enc_len rescale (basemodel.py:69-91)
+        self.g_emb_net = EmbNet(cfg, "graph", include_el=False, rescale=False)
+        if not cfg.share_emb_net:
+            self.p_emb_net = EmbNet(cfg, "pattern", include_el=False,
+                                    rescale=False)
+        self.g_rep_net = self.make_rep_net()
+        if not cfg.share_rep_net:
+            self.p_rep_net = self.make_rep_net()
+        self.pred_net_v = build_pred_net(
+            cfg.pred_net, cfg.pred_hid_dim,
+            act=cfg.pred_act_func, dropout=cfg.pred_dropout,
+            return_weights="node" in cfg.pred_return_weights,
+            infer_steps=cfg.pred_infer_steps, num_heads=cfg.pred_num_heads,
+            mem_len=cfg.pred_mem_len, mem_init=cfg.pred_mem_init,
+        )
+
+    def get_filter_gate(self, pattern: GraphBatch, graph: GraphBatch):
+        """vl-only gate (basemodel.py:820-837)."""
+        if self.cfg.filter_net == "None":
+            return None
+        if self.cfg.filter_net != "ScalarFilter":
+            raise ValueError(self.cfg.filter_net)
+        vl_gate = scalar_filter(pattern.node_label, graph.node_label,
+                                pattern.node_mask)
+        return vl_gate.astype(jnp.float32)[..., None]
+
+    def __call__(self, pattern: GraphBatch, graph: GraphBatch,
+                 train: bool = False) -> Dict[str, Any]:
+        cfg = self.cfg
+        p_v_mask = pattern.node_mask
+        g_v_mask = graph.node_mask
+        vl_gate = self.get_filter_gate(pattern, graph)
+
+        p_enc_net = self.g_enc_net if cfg.share_enc_net else self.p_enc_net
+        p_emb_net = self.g_emb_net if cfg.share_emb_net else self.p_emb_net
+        p_rep_net = self.g_rep_net if cfg.share_rep_net else self.p_rep_net
+
+        p_enc = p_enc_net(pattern)
+        p_v_emb, _ = p_emb_net(p_enc)
+        p_v_rep = p_rep_net(
+            pattern, p_v_emb,
+            v_gate=p_v_mask.astype(jnp.float32)[..., None], train=train,
+        )
+
+        g_enc = self.g_enc_net(graph)
+        g_v_emb, _ = self.g_emb_net(g_enc)
+        g_v_gate = g_v_mask.astype(jnp.float32)[..., None]
+        if vl_gate is not None:
+            g_v_gate = g_v_gate * vl_gate
+        g_v_rep = self.g_rep_net(graph, g_v_emb, v_gate=g_v_gate, train=train)
+
+        p_add, g_add = [], []
+        if cfg.pred_with_enc:
+            p_add += [p_enc["v"], p_enc["vl"]]
+            g_add += [g_enc["v"], g_enc["vl"]]
+        if cfg.pred_with_deg:
+            p_add += [pattern.out_degrees()[..., None],
+                      pattern.in_degrees()[..., None]]
+            g_add += [graph.out_degrees()[..., None],
+                      graph.in_degrees()[..., None]]
+        if p_add:
+            p_v_out = jnp.concatenate(p_add + [p_v_rep], -1)
+            g_v_out = jnp.concatenate(g_add + [g_v_rep], -1)
+        else:
+            p_v_out, g_v_out = p_v_rep, g_v_rep
+        p_v_out = p_v_out * p_v_mask[..., None]
+        g_v_out = g_v_out * g_v_mask[..., None]
+
+        pred_c, pred_v = self.pred_net_v(
+            p_v_out, p_v_mask, g_v_out, g_v_mask, train=train
+        )
+        return {
+            "p_v_emb": p_v_emb, "p_e_emb": None,
+            "g_v_emb": g_v_emb, "g_e_emb": None,
+            "p_v_rep": p_v_rep, "p_e_rep": None,
+            "g_v_rep": g_v_rep, "g_e_rep": None,
+            "p_v_mask": p_v_mask, "p_e_mask": None,
+            "g_v_mask": g_v_mask, "g_e_mask": None,
+            "pred_c": pred_c, "pred_v": pred_v, "pred_e": None,
         }

@@ -44,6 +44,11 @@ class PredictNet(nn.Module):
     def agg(self, rep, mask, max_len):
         raise NotImplementedError
 
+    def pre_transform(self, p_rep, p_mask, g_rep, g_mask, train):
+        """Hook for Attn/MemAttn variants: transform g_rep before pooling
+        (pred.py:554-559, 942-947). Base: identity."""
+        return g_rep
+
     @nn.compact
     def __call__(
         self,
@@ -53,6 +58,7 @@ class PredictNet(nn.Module):
         g_mask: jnp.ndarray,  # [B, Lg] bool
         train: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        g_rep = self.pre_transform(p_rep, p_mask, g_rep, g_mask, train)
         act_fn = map_activation_str_to_fn(self.act)
         h = self.hidden_dim
         bsz, g_len = g_mask.shape
@@ -126,17 +132,20 @@ def build_pred_net(name: str, hidden_dim: int, act: str, dropout: float,
                    return_weights: bool, **kw) -> PredictNet:
     """Factory mirroring create_pred_net (basemodel.py:1074-1366).
 
-    Attention/memory variants are resolved lazily from pred_attn.py.
+    Attention/memory variants are resolved lazily from pred_attn.py; extra
+    kwargs (infer_steps, num_heads, mem_len, mem_init) are filtered down to
+    the fields each class actually declares.
     """
+    import dataclasses as _dc
+
     if name in PRED_NETS:
-        return PRED_NETS[name](
-            hidden_dim=hidden_dim, act=act, dropout=dropout,
-            return_weights=return_weights,
-        )
-    from .pred_attn import ATTN_PRED_NETS  # noqa: deferred to avoid cycle
-    if name in ATTN_PRED_NETS:
-        return ATTN_PRED_NETS[name](
-            hidden_dim=hidden_dim, act=act, dropout=dropout,
-            return_weights=return_weights, **kw,
-        )
-    raise ValueError(f"unknown pred_net '{name}'")
+        cls = PRED_NETS[name]
+    else:
+        from .pred_attn import ATTN_PRED_NETS  # noqa: deferred to avoid cycle
+        if name not in ATTN_PRED_NETS:
+            raise ValueError(f"unknown pred_net '{name}'")
+        cls = ATTN_PRED_NETS[name]
+    fields = {f.name for f in _dc.fields(cls)}
+    extra = {k: v for k, v in kw.items() if k in fields}
+    return cls(hidden_dim=hidden_dim, act=act, dropout=dropout,
+               return_weights=return_weights, **extra)

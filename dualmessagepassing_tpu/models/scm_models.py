@@ -41,8 +41,10 @@ def build_model(cfg: ModelConfig) -> nn.Module:
     """Instantiate the model named by cfg.rep_net (train.py:68-87)."""
     # deferred imports let optional model families register lazily
     if cfg.rep_net not in MODEL_REGISTRY:
-        if cfg.rep_net in ("CompGCN", "RGCN", "RGIN"):
-            from . import rgnn  # noqa: F401  (registers into MODEL_REGISTRY)
+        if cfg.rep_net == "CompGCN":
+            from . import compgcn  # noqa: F401 (registers into MODEL_REGISTRY)
+        elif cfg.rep_net in ("RGCN", "RGIN"):
+            from . import rgnn  # noqa: F401
         elif cfg.rep_net in ("LRP", "DMPLRP"):
             from . import lrp  # noqa: F401
         elif cfg.rep_net in ("CNN", "RNN", "TXL"):

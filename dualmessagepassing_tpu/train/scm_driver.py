@@ -30,9 +30,22 @@ from .schedules import lr_schedule, scalar_schedule
 
 @struct.dataclass
 class TrainState:
-    params: Any
+    params: Any          # trainable "params" collection
+    batch_stats: Any     # BatchNorm running stats ({} if none)
     opt_state: Any
-    step: jnp.ndarray  # scalar int32
+    step: jnp.ndarray    # scalar int32
+
+    @classmethod
+    def create(cls, variables, tx) -> "TrainState":
+        params = variables["params"]
+        stats = variables.get("batch_stats", {})
+        return cls(params, stats, tx.init(params), jnp.int32(0))
+
+    def variables(self):
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
 
 
 def make_optimizer(lr: float, weight_decay: float = 1e-5,
@@ -59,14 +72,31 @@ def make_train_step(model, tx, bp_loss: str = "MSE",
     use_node_w = "node" in return_weights
     use_edge_w = "edge" in return_weights
 
+    def refine(kind, w):
+        """Weight targets follow the model's length refinement
+        (train.py:630,641) — e.g. CNN pooling changes the sequence length."""
+        if w is None:
+            return None
+        fn = getattr(model, f"refine_{kind}_weights", None)
+        if fn is None:
+            return w
+        return fn(w[..., None])[..., 0]
+
     @jax.jit
     def train_step(state: TrainState, pattern: GraphBatch, graph: GraphBatch,
                    counts, node_weights, edge_weights,
                    neg_slope, match_loss_w, match_reg_w, rep_reg_w,
                    lr_mult, dropout_rng):
+        node_weights = refine("node", node_weights) if use_node_w else node_weights
+        edge_weights = refine("edge", edge_weights) if use_edge_w else edge_weights
+
         def loss_fn(params):
-            out = model.apply(params, pattern, graph, train=True,
-                              rngs={"dropout": dropout_rng})
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out, mutated = model.apply(
+                variables, pattern, graph, train=True,
+                rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
             losses = scm_loss(
                 out, counts,
                 node_weights if use_node_w else None,
@@ -75,21 +105,23 @@ def make_train_step(model, tx, bp_loss: str = "MSE",
                 match_loss_w=match_loss_w, match_reg_w=match_reg_w,
                 rep_reg_w=rep_reg_w,
             )
-            return losses["total"], losses
+            return losses["total"], (losses, mutated.get("batch_stats", {}))
 
-        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads, (losses, new_stats) = jax.grad(loss_fn, has_aux=True)(
+            state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: u * lr_mult, updates)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), losses
+        stats = new_stats if state.batch_stats else state.batch_stats
+        return TrainState(params, stats, opt_state, state.step + 1), losses
 
     return train_step
 
 
 def make_eval_step(model) -> Callable:
     @jax.jit
-    def eval_step(params, pattern: GraphBatch, graph: GraphBatch):
-        out = model.apply(params, pattern, graph, train=False)
+    def eval_step(variables, pattern: GraphBatch, graph: GraphBatch):
+        out = model.apply(variables, pattern, graph, train=False)
         return (out["pred_c"], out["pred_v"], out["pred_e"],
                 out["g_v_mask"], out["g_e_mask"])
 

@@ -1,0 +1,110 @@
+"""Tests for the EdgeSeq container + CNN/RNN/TXL models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dualmessagepassing_tpu import ModelConfig, build_model
+from dualmessagepassing_tpu.graph import (
+    batch_edgeseqs,
+    record_to_edgeseq,
+    single_graph,
+)
+from dualmessagepassing_tpu.data.dataset import GraphAdjDataset
+from dualmessagepassing_tpu.data.synthetic import generate_dataset
+
+
+def test_record_to_edgeseq_sorted(rng):
+    rec = single_graph(5, [3, 0, 3, 1], [1, 2, 0, 0],
+                       node_labels=[0, 1, 0, 1, 0],
+                       edge_labels=[2, 0, 1, 1], v_max=5, e_max=6)
+    seq = record_to_edgeseq(rec)
+    # sorted lexicographically by (u, v, el)
+    real = seq["mask"]
+    triples = list(zip(seq["u"][real], seq["v"][real], seq["el"][real]))
+    assert triples == sorted(triples)
+    # ul/vl looked up from node labels
+    for i in range(4):
+        assert seq["ul"][i] == rec["node_label"][seq["u"][i]]
+        assert seq["vl"][i] == rec["node_label"][seq["v"][i]]
+
+
+def seq_config(**kw):
+    base = dict(
+        max_ngv=8, max_ngvl=3, max_nge=16, max_ngel=3,
+        max_npv=4, max_npvl=3, max_npe=6, max_npel=3,
+        hid_dim=16, rep_num_pattern_layers=2, rep_num_graph_layers=2,
+        pred_hid_dim=16, filter_net="ScalarFilter",
+        pred_return_weights="edge",
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def make_seq_batch(rng, bsz=2):
+    pats, gras = [], []
+    for _ in range(bsz):
+        pats.append(record_to_edgeseq(single_graph(
+            4, rng.integers(0, 4, 6), rng.integers(0, 4, 6),
+            node_labels=rng.integers(0, 3, 4),
+            edge_labels=rng.integers(0, 3, 6), v_max=4, e_max=6)))
+        gras.append(record_to_edgeseq(single_graph(
+            8, rng.integers(0, 8, 16), rng.integers(0, 8, 16),
+            node_labels=rng.integers(0, 3, 8),
+            edge_labels=rng.integers(0, 3, 16), v_max=8, e_max=16)))
+    return batch_edgeseqs(pats), batch_edgeseqs(gras)
+
+
+@pytest.mark.parametrize("rep_net,extra", [
+    ("CNN", {}),
+    ("RNN", {"rep_rnn_type": "LSTM"}),
+    ("RNN", {"rep_rnn_type": "GRU", "rep_rnn_bidirectional": True}),
+    ("TXL", {"rep_txl_seg_len": 8, "rep_txl_mem_len": 8}),
+])
+def test_edgeseq_models(rng, rep_net, extra):
+    pattern, graph = make_seq_batch(rng)
+    cfg = seq_config(rep_net=rep_net, **extra)
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), pattern, graph)
+    out = model.apply(params, pattern, graph)
+    assert out["pred_c"].shape == (2, 1)
+    assert np.all(np.isfinite(np.asarray(out["pred_c"])))
+    assert out["pred_e"] is not None
+
+    def loss(p):
+        o = model.apply(p, pattern, graph)
+        return jnp.mean((o["pred_c"] - 1.0) ** 2) + jnp.mean(o["g_e_rep"] ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(g))
+
+
+def test_cnn_length_change(rng):
+    """Default k=2,p=1 CNN grows the sequence by 2 per layer; masks and
+    addfeats must be refined to the same length (cnn.py:192-237)."""
+    pattern, graph = make_seq_batch(rng)
+    cfg = seq_config(rep_net="CNN", pred_with_enc=False, pred_with_deg=True)
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), pattern, graph)
+    out = model.apply(params, pattern, graph)
+    # 16 -> 18 -> 20 after two layers
+    assert out["g_e_rep"].shape[1] == 20
+    assert out["g_e_mask"].shape[1] == 20
+    assert out["pred_e"].shape == (2, 20)
+
+
+def test_edgeseq_dataset_batchify():
+    data = generate_dataset(8, seed=3, pv=3, pe=3, gv=6, ge=10,
+                            num_vlabels=2, num_elabels=2,
+                            p_v_max=3, p_e_max=3, g_v_max=6, g_e_max=10)
+    ds = GraphAdjDataset(data)
+    ids, pattern, graph, counts, (nw, ew) = ds.batchify_edgeseq(
+        range(8), "edge")
+    assert pattern.u.shape == (8, 3)
+    assert graph.u.shape == (8, 10)
+    assert counts.shape == (8, 1)
+    assert ew.shape == (8, 10)
+    # weight sum is invariant under the sequence sort
+    for i in range(8):
+        assert float(ew[i].sum()) == float(data[i]["edge_weights"].sum())

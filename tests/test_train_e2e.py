@@ -48,7 +48,7 @@ def test_counting_loss_decreases(tiny_dataset):
     ids, pattern, graph, counts, _ = tiny_dataset.batchify(range(8), "none")
     params = model.init(jax.random.PRNGKey(0), pattern, graph)
     tx = make_optimizer(lr=1e-2)
-    state = TrainState(params, tx.init(params), 0)
+    state = TrainState.create(params, tx)
     step = make_train_step(model, tx, bp_loss="MSE",
                            return_weights="nodeedge")
 
