@@ -1,0 +1,224 @@
+"""UNC training driver: batch loop, loss-increase early stop, embedding
+export with coverage-weighted moving average.
+
+Reference: /root/reference/UnsupervisedNodeClassification/Model/DMPNN/src/
+main.py:48-218.  The jitted train step operates on a fixed (v_max, e_max,
+s_max) envelope; host-side sampling (unc/data.py) feeds it.  Adam +
+cosine-annealing LR (eta_min 3e-6), clip 1.0 (main.py:110-113,166).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .data import (
+    WholeGraph,
+    compute_edgenorm,
+    convert_subgraph_nids,
+    edge_dropout,
+    negative_sampling,
+    pad_subgraph,
+    sample_subgraph_by_neighbors,
+    sample_subgraph_by_randomwalks,
+)
+from .model import UNCTrainModel, init_unc_variables
+
+
+def make_unc_optimizer(lr: float, total_steps: int, grad_norm: float = 1.0):
+    sched = optax.cosine_decay_schedule(lr, max(total_steps, 1), alpha=3e-6 / lr)
+    return optax.chain(
+        optax.clip_by_global_norm(grad_norm),
+        optax.scale_by_adam(),
+        optax.scale_by_schedule(lambda s: -sched(s)),
+    )
+
+
+def make_unc_train_step(model: UNCTrainModel, tx) -> Callable:
+    @jax.jit
+    def step(params, opt_state, batch_stats, sub):
+        def loss_fn(p):
+            variables = {"params": p}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            (out, pred), mutated = model.apply(
+                variables, sub, train=True, mutable=["batch_stats"])
+            loss = model.apply(
+                variables, out, sub["edge_type"], sub["edge_mask"],
+                sub["samples"], sub["labels"], sub["sample_mask"],
+                sub["node_mask"],
+                method=UNCTrainModel.unsupervised_loss)
+            return loss, mutated.get("batch_stats", {})
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, (new_stats if batch_stats else batch_stats), loss
+
+    return step
+
+
+def make_unc_embed_step(model: UNCTrainModel) -> Callable:
+    @jax.jit
+    def embed(variables, sub):
+        (out, _pred) = model.apply(variables, sub, train=False)
+        return out[0]
+
+    return embed
+
+
+def sample_batch(graph: WholeGraph, edges: np.ndarray, sampler: str,
+                 depth: int, width: int, split_size: float,
+                 negative_rate: int, v_max: int, e_max: int, s_max: int,
+                 rng) -> Dict[str, np.ndarray]:
+    """generate_sampled_graph_and_labels_unsupervised + padding
+    (utils.py:399-434)."""
+    neg = negative_sampling(edges, graph.num_nodes, negative_rate, rng)
+    seeds = np.unique(np.concatenate(
+        [edges[:, 0], edges[:, 2], neg[:, 0], neg[:, 2]]))
+    if sampler == "neighbor":
+        sub = sample_subgraph_by_neighbors(graph, seeds, depth, width, rng)
+    else:
+        sub = sample_subgraph_by_randomwalks(graph, seeds, depth, width, rng)
+    samples = np.concatenate([edges, neg])
+    samples = samples.copy()
+    samples[:, 0] = convert_subgraph_nids(samples[:, 0], sub["nid"])
+    samples[:, 2] = convert_subgraph_nids(samples[:, 2], sub["nid"])
+    sub = edge_dropout(sub, split_size, rng)
+    labels = np.zeros(len(samples), np.float32)
+    labels[: len(edges)] = 1.0
+    norm = compute_edgenorm(sub)
+    return pad_subgraph(sub, samples, labels, v_max, e_max, s_max,
+                        edge_norm=norm)
+
+
+def train_unc(
+    triplets: np.ndarray,
+    num_nodes: int,
+    num_rels: int,
+    *,
+    h_dim: int = 50,
+    n_layers: int = 1,
+    lr: float = 1e-2,
+    reg_param: float = 1e-2,
+    negative_rate: int = 5,
+    dropout: float = 0.2,
+    graph_batch_size: int = 10000,
+    graph_split_size: float = 0.5,
+    sampler: str = "randomwalk",
+    sample_depth: int = 3,
+    sample_width: int = 10,
+    n_epochs: int = 50,
+    grad_norm: float = 1.0,
+    seed_nodes: Optional[set] = None,
+    node_attri: Optional[np.ndarray] = None,
+    v_max: Optional[int] = None,
+    e_max: Optional[int] = None,
+    seed: int = 0,
+    log: Callable[[str], None] = print,
+):
+    """Full UNC pipeline -> (node_embeddings [N, h], coverage fraction).
+
+    Mirrors main.py:48-218 including the loss-increase early stop and the
+    coverage-weighted moving-average embedding export:
+        emb[nid] = emb[nid] * (1 - c) + h * c,
+        c = (subdeg + 1) / (deg + 1)             (main.py:196-209)
+    """
+    rng = np.random.default_rng(seed)
+    graph = WholeGraph(num_nodes, num_rels, triplets)
+
+    if seed_nodes:
+        pool = np.asarray([
+            i for i, t in enumerate(triplets)
+            if int(t[0]) in seed_nodes or int(t[2]) in seed_nodes])
+        train_edges = triplets[pool]
+    else:
+        train_edges = triplets
+        n_batches = math.ceil(len(train_edges) / graph_batch_size)
+        n_epochs = math.ceil(
+            n_epochs * n_batches * graph_batch_size / num_nodes)
+
+    # static envelope: seeds <= batch*(2 + 2*neg) capped at N; edges <= V*width
+    if v_max is None:
+        v_max = num_nodes
+    if e_max is None:
+        e_max = min(v_max * sample_width, graph.num_edges)
+    s_max = graph_batch_size * (1 + negative_rate)
+
+    model = UNCTrainModel(
+        num_nodes=num_nodes, num_rels=num_rels, h_dim=h_dim,
+        nlabel=0, num_hidden_layers=n_layers, dropout=dropout,
+        reg_param=reg_param, node_attri=node_attri)
+
+    n_batches = math.ceil(len(train_edges) / graph_batch_size)
+    total_steps = n_epochs * n_batches
+    tx = make_unc_optimizer(lr, total_steps, grad_norm)
+
+    def batches(edges, bsz, shuffle):
+        order = rng.permutation(len(edges)) if shuffle else np.arange(len(edges))
+        for i in range(0, len(order), bsz):
+            yield edges[order[i: i + bsz]]
+
+    # init
+    first = sample_batch(graph, train_edges[: graph_batch_size], sampler,
+                         sample_depth, sample_width, graph_split_size,
+                         negative_rate, v_max, e_max, s_max, rng)
+    first_dev = {k: jnp.asarray(v) for k, v in first.items()}
+    variables = init_unc_variables(model, jax.random.PRNGKey(seed), first_dev)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+    step = make_unc_train_step(model, tx)
+
+    prev_loss = float("inf")
+    for epoch in range(n_epochs):
+        losses = []
+        for edges in batches(train_edges, graph_batch_size, shuffle=True):
+            sub = sample_batch(graph, edges, sampler, sample_depth,
+                               sample_width, graph_split_size, negative_rate,
+                               v_max, e_max, s_max, rng)
+            sub = {k: jnp.asarray(v) for k, v in sub.items()}
+            params, opt_state, batch_stats, loss = step(
+                params, opt_state, batch_stats, sub)
+            losses.append(float(loss))
+        loss = sum(losses) / max(len(losses), 1)
+        log(f"Epoch {epoch:05d} | Loss {loss:.4f}")
+        if loss > prev_loss:
+            break
+        prev_loss = loss
+
+    # final inference pass with moving-average export (main.py:184-209)
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    embed_step = make_unc_embed_step(model)
+    if node_attri is not None:
+        node_emb = np.asarray(node_attri, np.float32).copy()
+        if node_emb.shape[1] != h_dim:
+            node_emb = np.zeros((num_nodes, h_dim), np.float32)
+    else:
+        node_emb = np.asarray(params["model"]["node_emb"], np.float32).copy()
+    sampled = set()
+    for edges in batches(triplets, graph_batch_size * 4, shuffle=False):
+        subp = sample_batch(graph, edges, sampler, sample_depth, sample_width,
+                            graph_split_size, negative_rate, v_max, e_max,
+                            graph_batch_size * 4 * (1 + negative_rate), rng)
+        h = np.asarray(embed_step(variables,
+                                  {k: jnp.asarray(v) for k, v in subp.items()}))
+        nm = subp["node_mask"]
+        nid = subp["nid"][nm]
+        sub_in_deg = np.bincount(subp["receivers"][subp["edge_mask"]],
+                                 minlength=len(subp["nid"]))[nm]
+        coef = (sub_in_deg + 1.0) / (graph.in_deg[nid] + 1.0)
+        node_emb[nid] = (node_emb[nid] * (1 - coef[:, None])
+                         + h[nm] * coef[:, None])
+        sampled.update(int(x) for x in nid)
+    coverage = len(sampled) / num_nodes
+    log(f"{coverage * 100:.1f}% node embeddings are saved.")
+    return node_emb, coverage

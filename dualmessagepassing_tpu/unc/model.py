@@ -1,0 +1,312 @@
+"""UNC models: DualGraphConv (DMPNN), CompGCN, R-GIN, R-GCN + TrainModel.
+
+Reference: /root/reference/UnsupervisedNodeClassification/Model/DMPNN/src/
+model.py (DualGraphConv 117-280, DMPNN 283-328, TrainModel 632-737) and the
+CompGCN/R-GIN/R-GCN variants (Model/{CompGCN,R-GIN,R-GCN}/src/model.py).
+
+Flat-subgraph formulation: features live on [V_max]/[E_max] padded flat
+arrays with masks; aggregation is a masked scatter-add (XLA) — the large-
+graph path of SURVEY §2.3.
+
+Reference quirks preserved:
+  * DualGraphConv's dropout calls discard their result (model.py:245,260) —
+    update MLP outputs are NOT dropped;
+  * unused nfc/efc Linear layers are NOT reproduced (they contribute no
+    computation and only noise to the param count);
+  * update MLP is Linear-[BN]-LeakyReLU(1/5.5)-Linear with xavier-uniform
+    weights and zero biases (model.py:146-168);
+  * tanh between hidden layers, no activation after the last (DMPNN
+    build_hidden_layer, model.py:299-308);
+  * r-bar = per-relation mean of final edge outputs (model.py:319-325).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..constants import LEAKY_RELU_A
+from ..ops.encoding import get_enc_len, multihot_table
+from ..utils.init import scaled, xavier_uniform
+from ..models.layers import MaskedBatchNorm
+
+
+class UNCSubgraph:
+    """Thin namespace for the padded flat subgraph arrays (a dict works too;
+    this documents the fields)."""
+
+
+def _xavier(scale=1.0):
+    return scaled(xavier_uniform(1.0), scale)
+
+
+class UpdateMLP2(nn.Module):
+    """Linear-[BN]-LeakyReLU(1/5.5)-Linear (model.py:146-168)."""
+
+    hidden_dim: int
+    batch_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        h = self.hidden_dim
+        w0 = self.param("fc0_kernel", _xavier(), (x.shape[-1], h))
+        b0 = self.param("fc0_bias", nn.initializers.zeros, (h,))
+        w1 = self.param("fc1_kernel", _xavier(), (h, h))
+        b1 = self.param("fc1_bias", nn.initializers.zeros, (h,))
+        y = x @ w0 + b0
+        if self.batch_norm:
+            y = MaskedBatchNorm(name="bn")(y, mask=mask, train=train)
+        y = jax.nn.leaky_relu(y, LEAKY_RELU_A)
+        return y @ w1 + b1
+
+
+class DualGraphConv(nn.Module):
+    """UNC flavor of the dual message passing layer (model.py:117-280)."""
+
+    hidden_dim: int
+    init_neigenv: float = 4.0
+    init_eeigenv: float = 4.0
+    use_bias: bool = True
+    batch_norm: bool = True
+    activation: Optional[str] = None  # None | "tanh"
+    dropout: float = 0.0  # kept for config parity; see module docstring
+
+    @nn.compact
+    def __call__(self, sub: Dict[str, jnp.ndarray], node_feat, edge_feat,
+                 edge_norm=None, train: bool = False):
+        h = self.hidden_dim
+        din = node_feat.shape[-1]
+        n_init = _xavier(1.0 / self.init_neigenv)
+        e_init = _xavier(1.0 / self.init_eeigenv)
+        w_in = self.param("in_weight", n_init, (din, h))
+        w_out = self.param("out_weight", n_init, (din, h))
+        w_nloop = self.param("nloop_weight", n_init, (din, h))
+        w_src = self.param("src_weight", e_init, (din, h))
+        w_dst = self.param("dst_weight", e_init, (din, h))
+        w_eloop = self.param("eloop_weight", e_init, (din, h))
+        if self.use_bias:
+            b_n = self.param("nbias", nn.initializers.zeros, (h,))
+            b_e = self.param("ebias", nn.initializers.zeros, (h,))
+
+        senders = sub["senders"]
+        receivers = sub["receivers"]
+        e_mask = sub["edge_mask"]
+        rev = sub["rev_flag"][:, None]
+        v = sub["node_mask"].shape[0]
+
+        hw_src = node_feat @ w_src
+        hw_dst = node_feat @ w_dst
+        edge_msg = jnp.where(
+            rev,
+            hw_dst[senders] - hw_src[receivers],
+            hw_dst[receivers] - hw_src[senders],
+        )
+        node_msg = jnp.where(rev, edge_feat @ w_out, -(edge_feat @ w_in))
+        if edge_norm is not None:
+            node_msg = node_msg * edge_norm
+        node_msg = jnp.where(e_mask[:, None], node_msg, 0.0)
+        agg = jnp.zeros((v, h), node_msg.dtype).at[receivers].add(node_msg)
+
+        n_out = node_feat @ w_nloop + agg
+        if self.use_bias:
+            n_out = n_out + b_n
+        n_out = UpdateMLP2(h, self.batch_norm, name="nmlp")(
+            n_out, mask=sub["node_mask"], train=train)
+
+        out_deg = jnp.zeros((v,), jnp.float32).at[senders].add(
+            e_mask.astype(jnp.float32))
+        d = jnp.log2(1.0 + out_deg)[receivers][:, None]
+        add = 2.0 * (1.0 + d) * (edge_feat @ (w_src - w_dst))
+        e_out = edge_feat @ w_eloop + edge_msg + add
+        if self.use_bias:
+            e_out = e_out + b_e
+        e_out = UpdateMLP2(h, self.batch_norm, name="emlp")(
+            e_out, mask=e_mask, train=train)
+
+        if self.activation == "tanh":
+            n_out = jnp.tanh(n_out)
+            e_out = jnp.tanh(e_out)
+        return n_out, e_out
+
+
+class UNCDMPNN(nn.Module):
+    """DMPNN UNC model: node/rel embeddings + DualGraphConv stack
+    (model.py:283-328). Returns (h, z, r_bar)."""
+
+    num_nodes: int
+    num_rels: int        # already doubled by the caller (TrainModel)
+    h_dim: int
+    out_dim: int
+    num_hidden_layers: int = 1
+    dropout: float = 0.0
+    node_attri: Optional[Any] = None  # frozen [N, A] attributes
+
+    @nn.compact
+    def __call__(self, sub, train: bool = False):
+        if self.node_attri is not None:
+            table = jnp.asarray(self.node_attri)
+            h = table[sub["nid"]]
+        else:
+            scale = 1.0 / jnp.sqrt(jnp.asarray(float(self.h_dim)))
+            emb = self.param(
+                "node_emb",
+                lambda k, s: jax.random.uniform(
+                    k, s, jnp.float32, -1, 1) / jnp.sqrt(float(self.h_dim)),
+                (self.num_nodes, self.h_dim))
+            h = emb[sub["nid"]]
+        rel_emb = self.param(
+            "rel_emb",
+            lambda k, s: jax.random.uniform(
+                k, s, jnp.float32, -1, 1) / jnp.sqrt(float(self.h_dim)),
+            (self.num_rels, self.h_dim))
+        z = rel_emb[sub["edge_type"]]
+
+        norm = sub.get("edge_norm")
+        for i in range(self.num_hidden_layers):
+            act = "tanh" if i < self.num_hidden_layers - 1 else None
+            h, z = DualGraphConv(
+                hidden_dim=self.out_dim, activation=act,
+                dropout=self.dropout, name=f"layer_{i}",
+            )(sub, h, z, edge_norm=norm, train=train)
+
+        # per-relation mean of final edge outputs (model.py:319-325)
+        et = sub["edge_type"]
+        em = sub["edge_mask"].astype(jnp.float32)[:, None]
+        onehot = jax.nn.one_hot(et, self.num_rels, dtype=z.dtype) * em
+        sums = onehot.T @ z                       # [R, H]
+        cnts = onehot.sum(axis=0)[:, None]
+        r_bar = sums / (cnts + 1e-8)
+        return h, z, r_bar
+
+    def full_node_embeddings(self, params):
+        """The learned embedding table (main.py:187 node_emb.weight)."""
+        if self.node_attri is not None:
+            import numpy as np
+            return np.asarray(self.node_attri)
+        return params["params"]["node_emb"]
+
+
+class UNCTrainModel(nn.Module):
+    """DistMult link prediction / supervised head around the GNN
+    (model.py:632-737)."""
+
+    num_nodes: int
+    num_rels: int        # ORIGINAL count; model uses num_rels * 2
+    h_dim: int
+    nlabel: int = 0
+    num_hidden_layers: int = 1
+    dropout: float = 0.0
+    reg_param: float = 0.0
+    node_attri: Optional[Any] = None
+    backbone: str = "DMPNN"
+
+    def setup(self):
+        i_dim = (self.h_dim if self.node_attri is None
+                 else self.node_attri.shape[1])
+        if self.backbone == "DMPNN":
+            self.model = UNCDMPNN(
+                num_nodes=self.num_nodes, num_rels=self.num_rels * 2,
+                h_dim=i_dim, out_dim=self.h_dim,
+                num_hidden_layers=self.num_hidden_layers,
+                dropout=self.dropout, node_attri=self.node_attri)
+        else:
+            raise NotImplementedError(self.backbone)
+        if self.nlabel == 0:
+            self.w_relation = self.param(
+                "w_relation",
+                xavier_uniform(jnp.sqrt(2.0)),  # gain('relu')
+                (self.num_rels, self.h_dim))
+        else:
+            self.node_fc = nn.Dense(
+                self.nlabel, kernel_init=xavier_uniform(1.0),
+                bias_init=nn.initializers.zeros, name="node_fc")
+        self.edge_fc = nn.Dense(
+            self.h_dim, kernel_init=xavier_uniform(1.0),
+            bias_init=nn.initializers.zeros, name="edge_fc")
+
+    def __call__(self, sub, train: bool = False):
+        out = self.model(sub, train=train)
+        pred = self.node_fc(out[0]) if self.nlabel > 0 else None
+        return out, pred
+
+    def calc_score(self, node_emb, triplets):
+        s = node_emb[triplets[:, 0]]
+        r = self.w_relation[triplets[:, 1]]
+        o = node_emb[triplets[:, 2]]
+        return jnp.sum(s * r * o, axis=1)
+
+    def regularization(self, embedding, edge_type=None, edge_mask=None,
+                       node_mask=None):
+        """mean(w_rel^2) + sum_i mean(emb_i^2) + edge_fc alignment
+        (model.py:691-715). The reference tensors are unpadded, so our means
+        run over mask-valid rows only."""
+        reg = jnp.mean(self.w_relation ** 2)
+        h, z, r_bar = embedding
+        reg = reg + _masked_mean_sq(h, node_mask)
+        reg = reg + _masked_mean_sq(z, edge_mask)
+        reg = reg + _masked_mean_sq(r_bar, None)
+        if edge_type is not None:
+            mask = jnp.logical_and(edge_type < self.num_rels,
+                                   edge_mask if edge_mask is not None else True)
+            diff = self.edge_fc(z) - self.w_relation[
+                jnp.minimum(edge_type, self.num_rels - 1)]
+            sq = jnp.sum(diff ** 2, axis=1)
+            cnt = jnp.maximum(jnp.sum(mask), 1)
+            reg = reg + jnp.sum(jnp.where(mask, sq, 0.0)) / (
+                cnt * self.h_dim)
+        return reg
+
+    def unsupervised_loss(self, embedding, edge_type, edge_mask, samples,
+                          labels, sample_mask, node_mask=None):
+        score = self.calc_score(embedding[0], samples)
+        bce = optax_sigmoid_bce(score, labels)
+        cnt = jnp.maximum(jnp.sum(sample_mask), 1)
+        predict_loss = jnp.sum(jnp.where(sample_mask, bce, 0.0)) / cnt
+        reg = self.regularization(embedding, edge_type, edge_mask, node_mask)
+        return predict_loss + self.reg_param * reg
+
+    def supervised_loss(self, embedding, edge_type, edge_mask, pred,
+                        matched_labels, matched_index, matched_mask, multi):
+        p = pred[matched_index]
+        if multi:
+            logp = jax.nn.log_sigmoid(p)
+            log1mp = jax.nn.log_sigmoid(-p)
+            bce = -(matched_labels * logp + (1 - matched_labels) * log1mp)
+            per = jnp.mean(bce, axis=1)
+        else:
+            logits = jax.nn.log_softmax(p, axis=-1)
+            per = -jnp.take_along_axis(
+                logits, matched_labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+        cnt = jnp.maximum(jnp.sum(matched_mask), 1)
+        predict_loss = jnp.sum(jnp.where(matched_mask, per, 0.0)) / cnt
+        reg = self.regularization(embedding, edge_type, edge_mask)
+        return predict_loss + self.reg_param * reg  # node_mask via kwargs
+
+
+def init_unc_variables(model: "UNCTrainModel", key, sub):
+    """Initialize ALL parameters, including the loss-path-only edge_fc /
+    w_relation (linen creates lazily only what a traced method touches)."""
+
+    def full(mdl, sub):
+        out, pred = mdl(sub, train=False)
+        return mdl.unsupervised_loss(
+            out, sub["edge_type"], sub["edge_mask"], sub["samples"],
+            sub["labels"], sub["sample_mask"], sub["node_mask"])
+
+    return model.init(key, sub, method=full)
+
+
+def _masked_mean_sq(x, mask):
+    if mask is None:
+        return jnp.mean(x ** 2)
+    m = mask.astype(x.dtype)[:, None]
+    return jnp.sum((x ** 2) * m) / jnp.maximum(m.sum() * x.shape[-1], 1.0)
+
+
+def optax_sigmoid_bce(logits, labels):
+    """binary_cross_entropy_with_logits, elementwise."""
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))

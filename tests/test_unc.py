@@ -1,0 +1,131 @@
+"""Tests for the UNC workload: samplers, model, loss, end-to-end training."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dualmessagepassing_tpu.unc.data import (
+    WholeGraph,
+    compute_edgenorm,
+    convert_subgraph_nids,
+    edge_dropout,
+    negative_sampling,
+    pad_subgraph,
+    sample_subgraph_by_neighbors,
+    sample_subgraph_by_randomwalks,
+)
+from dualmessagepassing_tpu.unc.model import UNCTrainModel, init_unc_variables
+
+
+def make_triplets(rng, n=30, e=80, r=3):
+    src = rng.integers(0, n, e)
+    dst = (src + rng.integers(1, n, e)) % n
+    rel = rng.integers(0, r, e)
+    return np.stack([src, rel, dst], axis=1).astype(np.int64)
+
+
+def test_whole_graph_doubling(rng):
+    t = make_triplets(rng)
+    g = WholeGraph(30, 3, t)
+    assert g.num_edges == 160
+    # reversed edges have shifted relation ids
+    assert (g.edge_type[80:] == t[:, 1] + 3).all()
+    assert (g.senders[80:] == t[:, 2]).all()
+
+
+def test_samplers(rng):
+    t = make_triplets(rng)
+    g = WholeGraph(30, 3, t)
+    seeds = np.unique(t[:5, [0, 2]].reshape(-1))
+    for fn in (sample_subgraph_by_randomwalks, sample_subgraph_by_neighbors):
+        sub = fn(g, seeds, depth=2, width=4, rng=rng)
+        # every edge endpoint within the subgraph
+        assert sub["senders"].max() < len(sub["nid"])
+        assert sub["receivers"].max() < len(sub["nid"])
+        # all seeds present
+        assert set(seeds.tolist()) <= set(sub["nid"].tolist())
+        # width cap respected: <= width in-edges per node
+        cnt = np.bincount(sub["receivers"], minlength=len(sub["nid"]))
+        assert cnt.max() <= 4
+        # edge types consistent with the parent graph
+        for s, d, ty in zip(sub["senders"][:10], sub["receivers"][:10],
+                            sub["edge_type"][:10]):
+            ps, pd = sub["nid"][s], sub["nid"][d]
+            mask = (g.senders == ps) & (g.receivers == pd) & (g.edge_type == ty)
+            assert mask.any()
+
+
+def test_negative_sampling(rng):
+    t = make_triplets(rng, e=50)
+    neg = negative_sampling(t, 30, 5, rng)
+    assert neg.shape == (250, 3)
+    # each negative differs from its positive in head or tail
+    pos = np.tile(t, (5, 1))
+    diff = (neg[:, 0] != pos[:, 0]) | (neg[:, 2] != pos[:, 2])
+    assert diff.all()
+    assert (neg[:, 1] == pos[:, 1]).all()
+
+
+def test_edge_dropout_and_norm(rng):
+    t = make_triplets(rng)
+    g = WholeGraph(30, 3, t)
+    seeds = np.unique(t[:10, [0, 2]].reshape(-1))
+    sub = sample_subgraph_by_neighbors(g, seeds, 2, 5, rng)
+    n0 = len(sub["senders"])
+    sub2 = edge_dropout(sub, 0.5, rng)
+    assert len(sub2["senders"]) < n0
+    norm = compute_edgenorm(sub2)
+    assert norm.shape == (len(sub2["senders"]), 1)
+    assert np.isfinite(norm).all()
+
+
+def test_unc_model_and_loss(rng):
+    t = make_triplets(rng, n=20, e=60, r=3)
+    g = WholeGraph(20, 3, t)
+    edges = t[:16]
+    neg = negative_sampling(edges, 20, 2, rng)
+    seeds = np.unique(np.concatenate(
+        [edges[:, 0], edges[:, 2], neg[:, 0], neg[:, 2]]))
+    sub = sample_subgraph_by_randomwalks(g, seeds, 2, 5, rng)
+    samples = np.concatenate([edges, neg]).copy()
+    samples[:, 0] = convert_subgraph_nids(samples[:, 0], sub["nid"])
+    samples[:, 2] = convert_subgraph_nids(samples[:, 2], sub["nid"])
+    labels = np.zeros(len(samples), np.float32)
+    labels[:16] = 1.0
+    norm = compute_edgenorm(sub)
+    padded = pad_subgraph(sub, samples, labels, v_max=24,
+                          e_max=24 * 5, s_max=64, edge_norm=norm)
+    sub_dev = {k: jnp.asarray(v) for k, v in padded.items()}
+
+    model = UNCTrainModel(num_nodes=20, num_rels=3, h_dim=8, nlabel=0,
+                          num_hidden_layers=2, reg_param=0.01)
+    variables = init_unc_variables(model, jax.random.PRNGKey(0), sub_dev)
+    (out, pred), _ = model.apply(variables, sub_dev, train=True,
+                                 mutable=["batch_stats"])
+    h, z, r_bar = out
+    assert h.shape == (24, 8)
+    assert r_bar.shape == (6, 8)  # num_rels * 2
+    assert pred is None
+
+    loss = model.apply(variables, out, sub_dev["edge_type"],
+                       sub_dev["edge_mask"], sub_dev["samples"],
+                       sub_dev["labels"], sub_dev["sample_mask"],
+                       sub_dev["node_mask"],
+                       method=UNCTrainModel.unsupervised_loss)
+    assert np.isfinite(float(loss))
+
+
+def test_unc_training_end_to_end(rng):
+    from dualmessagepassing_tpu.unc.driver import train_unc
+
+    t = make_triplets(rng, n=25, e=120, r=2)
+    embs, coverage = train_unc(
+        t, 25, 2, h_dim=8, n_layers=1, lr=1e-2, reg_param=0.01,
+        negative_rate=2, graph_batch_size=40, graph_split_size=0.9,
+        sampler="randomwalk", sample_depth=2, sample_width=5,
+        n_epochs=2, v_max=25, e_max=125, seed=0, log=lambda s: None)
+    assert embs.shape == (25, 8)
+    assert coverage > 0.9
+    assert np.isfinite(embs).all()
