@@ -1,0 +1,193 @@
+"""SCM training CLI — the reference train.py main loop (train.py:1064-1398).
+
+python -m dualmessagepassing_tpu.cli.scm_train --synthetic True ...
+python -m dualmessagepassing_tpu.cli.scm_train --pattern_dir ... \
+    --graph_dir ... --metadata_dir ... --rep_net DMPNN --match_weights node,edge
+
+Loop structure mirrors the reference: per-epoch curriculum training split,
+bucketed dev/test evaluation, results JSONs, best-epoch checkpoints, early
+stop when both the train loss and the dev metric stall.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+from typing import Dict
+
+import numpy as np
+
+
+def build_datasets(config, logger):
+    from ..data.dataset import GraphAdjDataset
+    from ..data.synthetic import generate_dataset
+    from ..graph import single_graph
+    from ..utils.io import load_data
+
+    if config["synthetic"]:
+        logger.info("generating synthetic Erdos-Renyi datasets")
+        n = config["synthetic_pairs"]
+        kw = dict(
+            pv=config["max_npv"], pe=min(config["max_npe"], 2 * config["max_npv"]),
+            gv=config["max_ngv"], ge=config["max_nge"],
+            num_vlabels=config["max_ngvl"], num_elabels=config["max_ngel"],
+            p_v_max=config["max_npv"], p_e_max=config["max_npe"],
+            g_v_max=config["max_ngv"], g_e_max=config["max_nge"],
+        )
+        datasets = {
+            "train": GraphAdjDataset(generate_dataset(n, seed=config["seed"], **kw)),
+            "dev": GraphAdjDataset(
+                generate_dataset(max(n // 8, 1), seed=config["seed"] + 1, **kw)),
+            "test": GraphAdjDataset(
+                generate_dataset(max(n // 8, 1), seed=config["seed"] + 2, **kw)),
+        }
+    else:
+        logger.info("loading datasets from %s / %s / %s" % (
+            config["pattern_dir"], config["graph_dir"], config["metadata_dir"]))
+        splits, _shared = load_data(config["pattern_dir"], config["graph_dir"],
+                                    config["metadata_dir"])
+
+        def to_record(x):
+            p, g = x["pattern"], x["graph"]
+            return {
+                "id": x["id"],
+                "pattern": single_graph(
+                    p["num_nodes"], p["senders"], p["receivers"],
+                    p["node_labels"], p["edge_labels"],
+                    v_max=config["max_npv"], e_max=config["max_npe"]),
+                "graph": single_graph(
+                    g["num_nodes"], g["senders"], g["receivers"],
+                    g["node_labels"], g["edge_labels"],
+                    v_max=config["max_ngv"], e_max=config["max_nge"]),
+                "counts": x["counts"],
+                "subisomorphisms": x["subisomorphisms"],
+                "node_weights": None, "edge_weights": None,
+            }
+
+        datasets = {k: GraphAdjDataset([to_record(x) for x in v])
+                    for k, v in splits.items()}
+    for k, v in datasets.items():
+        logger.info("%8d %s data loaded" % (len(v), k))
+    return datasets
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from .config import get_train_config, process_model_config, to_model_config
+    from ..models.scm_models import build_model
+    from ..train import (BucketSampler, CurriculumSampler, TrainState,
+                         evaluate_epoch, make_eval_step, make_optimizer,
+                         make_train_step, train_epoch)
+    from ..train.checkpoint import save_state
+    from ..utils.io import save_config, save_results
+    from ..utils.log import generate_best_line, init_logger
+
+    config = get_train_config(argv)
+    ts = datetime.datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
+    save_dir = os.path.join(
+        config["save_model_dir"],
+        "%s_%s_%s" % (config["rep_net"], config["pred_net"], ts))
+    os.makedirs(save_dir, exist_ok=True)
+    logger = init_logger(os.path.join(save_dir, "log.txt"),
+                         log_tag=config["rep_net"])
+    save_config(config, os.path.join(save_dir, "config.json"))
+
+    datasets = build_datasets(config, logger)
+
+    # reversed edges + eigenvalue bounds (train.py:1150-1186)
+    if config["add_rev"]:
+        for ds in datasets.values():
+            ds.add_reversed_edges(config["max_npel"], config["max_ngel"])
+    if config["convert_dual"]:
+        from ..data.dual import convert_dataset_to_dual
+        for ds in datasets.values():
+            convert_dataset_to_dual(ds)
+    neigenv, eeigenv = datasets["train"].compute_eigenvalue_bounds()
+    logger.info(f"eigenvalue bounds: node {neigenv:.2f} edge {eeigenv:.2f}")
+
+    model_cfg = to_model_config(process_model_config(config)).replace(
+        init_neigenv=neigenv, init_eeigenv=eeigenv)
+    model = build_model(model_cfg)
+
+    ids, pattern, graph, counts, _ = datasets["train"].batchify(
+        range(min(2, len(datasets["train"]))), "none")
+    variables = model.init(jax.random.PRNGKey(config["seed"]), pattern, graph)
+    n_params = sum(x.size for x in jax.tree.leaves(variables))
+    logger.info(f"model built: {n_params} parameters")
+
+    tx = make_optimizer(config["lr"], config["weight_decay"],
+                        config["max_grad_norm"])
+    state = TrainState.create(variables, tx)
+    train_step = make_train_step(model, tx, config["bp_loss"],
+                                 config["match_weights"])
+    eval_step = make_eval_step(model)
+
+    sizes = {k: v.sizes() for k, v in datasets.items()}
+    warmup = config["curriculum_warmup_epochs"]
+    if warmup < 0:
+        warmup = max(1, int(0.2 * config["train_epochs"]))
+
+    best_dev = float("inf")
+    best_train_loss = float("inf")
+    stale_loss = stale_metric = 0
+    rng = jax.random.PRNGKey(config["seed"])
+    metric = config["eval_metric"]
+    for epoch in range(config["train_epochs"]):
+        used_ratio = min(1.0, 0.5 + 0.5 * epoch / max(warmup, 1))
+        sampler = CurriculumSampler(
+            sizes["train"], ["p_len", "g_len"], used_ratio,
+            config["train_batch_size"], group_by=["g_len", "p_len"],
+            shuffle=True, seed=config["seed"])
+        sampler.set_epoch(epoch)
+        state, totals = train_epoch(
+            state, train_step, datasets["train"], sampler, config, epoch,
+            rng, log_fn=logger.info)
+        logger.info("data_type: %-10s\tepoch: %05d/%05d\tloss: %.6f" % (
+            "train", epoch, config["train_epochs"], totals["total"]))
+
+        results = {}
+        for split in ("dev", "test"):
+            ev = BucketSampler(sizes[split], ["g_len", "p_len"],
+                               config["eval_batch_size"],
+                               seed=config["seed"])
+            res = evaluate_epoch(
+                state.variables(), eval_step, datasets[split], ev,
+                return_weights=config["match_weights"])
+            results[split] = res
+            logger.info("data_type: %-10s\tepoch: %05d/%05d\t%s" % (
+                split, epoch, config["train_epochs"],
+                "\t".join(f"{k}: {v:.6f}" for k, v in res.items()
+                          if isinstance(v, float))))
+            save_results(res, os.path.join(
+                save_dir, f"{split}_results{epoch}.json"))
+
+        dev_metric = results["dev"].get(metric, float("nan"))
+        if dev_metric < best_dev:
+            best_dev = dev_metric
+            stale_metric = 0
+            save_state(os.path.join(save_dir, f"epoch{epoch}"), state)
+            for split in ("dev", "test"):
+                logger.info(generate_best_line(
+                    split, epoch, config["train_epochs"],
+                    **{("eval-" + metric): results[split].get(metric)}))
+        else:
+            stale_metric += 1
+        if totals["total"] < best_train_loss:
+            best_train_loss = totals["total"]
+            stale_loss = 0
+        else:
+            stale_loss += 1
+        if (stale_loss > config["early_stop_rounds"]
+                and stale_metric > config["early_stop_rounds"]):
+            logger.info(f"early stop at epoch {epoch}")
+            break
+    logger.info("training done; best dev %s: %.6f" % (metric, best_dev))
+    return save_dir
+
+
+if __name__ == "__main__":
+    main()
