@@ -243,6 +243,56 @@ def negative_sampling(pos: np.ndarray, num_entity: int, rate: int,
     return neg
 
 
+def labeled_edges_sampling(train_indices: Dict[int, list], ntrain: int,
+                           if_train: bool, label_batch_size: int,
+                           batch_index: int = 0, rng=None):
+    """Sample labeled nodes and collect their incident edge indices
+    (utils.py:494-509). Returns (edge_indices, sampled_node_set)."""
+    rng = rng or np.random.default_rng()
+    if if_train:
+        sampled = set(rng.integers(0, ntrain,
+                                   size=label_batch_size).tolist())
+    else:
+        sampled = set(range(batch_index * label_batch_size,
+                            min(ntrain, (batch_index + 1) * label_batch_size)))
+    new_edges, nodes = [], set()
+    for index, (labeled_node, node_edges) in enumerate(train_indices.items()):
+        if index in sampled:
+            nodes.add(labeled_node)
+            new_edges.append(np.asarray(node_edges))
+    new_edges = (np.unique(np.concatenate(new_edges)) if new_edges
+                 else np.zeros(0, np.int64))
+    return new_edges, nodes
+
+
+def match_labels_to_subgraph(nid: np.ndarray, sampled_nodes: set,
+                             train_labels: Dict, nlabel: int, multi: bool):
+    """Labeled-node targets aligned to SUBGRAPH row positions.
+
+    The reference's correct_order_* (utils.py:515-536) aligns to the
+    seed-node array instead of the subgraph rows the predictions live on —
+    we align to sub['nid'] so pred[matched_index] indexes the right rows.
+    Returns (matched_labels, matched_index).
+    """
+    labels, index = [], []
+    for i, n in enumerate(nid):
+        n = int(n)
+        if n in sampled_nodes:
+            if multi:
+                row = np.zeros(nlabel, np.int64)
+                row[train_labels[n]] = 1
+                labels.append(row)
+            else:
+                labels.append(train_labels[n])
+            index.append(i)
+    if multi:
+        labels = (np.asarray(labels, np.int64) if labels
+                  else np.zeros((0, nlabel), np.int64))
+    else:
+        labels = np.asarray(labels, np.int64)
+    return labels, np.asarray(index, np.int64)
+
+
 def convert_subgraph_nids(ori: np.ndarray, nid: np.ndarray) -> np.ndarray:
     remap = {int(v): i for i, v in enumerate(nid)}
     return np.asarray([remap[int(x)] for x in ori], np.int64)

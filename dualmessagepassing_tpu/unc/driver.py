@@ -41,13 +41,14 @@ def make_unc_optimizer(lr: float, total_steps: int, grad_norm: float = 1.0):
 
 def make_unc_train_step(model: UNCTrainModel, tx) -> Callable:
     @jax.jit
-    def step(params, opt_state, batch_stats, sub):
+    def step(params, opt_state, batch_stats, sub, dropout_rng):
         def loss_fn(p):
             variables = {"params": p}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
             (out, pred), mutated = model.apply(
-                variables, sub, train=True, mutable=["batch_stats"])
+                variables, sub, train=True, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng})
             loss = model.apply(
                 variables, out, sub["edge_type"], sub["edge_mask"],
                 sub["samples"], sub["labels"], sub["sample_mask"],
@@ -98,6 +99,150 @@ def sample_batch(graph: WholeGraph, edges: np.ndarray, sampler: str,
                         edge_norm=norm)
 
 
+def make_unc_supervised_step(model: UNCTrainModel, tx, multi: bool) -> Callable:
+    @jax.jit
+    def step(params, opt_state, batch_stats, sub, matched_labels,
+             matched_index, matched_mask, dropout_rng):
+        def loss_fn(p):
+            variables = {"params": p}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            (out, pred), mutated = model.apply(
+                variables, sub, train=True, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng})
+            loss = model.apply(
+                variables, out, sub["edge_type"], sub["edge_mask"], pred,
+                matched_labels, matched_index, matched_mask, multi,
+                method=UNCTrainModel.supervised_loss)
+            return loss, mutated.get("batch_stats", {})
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, (new_stats if batch_stats else batch_stats), loss
+
+    return step
+
+
+def train_unc_supervised(
+    triplets: np.ndarray,
+    num_nodes: int,
+    num_rels: int,
+    train_indices,        # labeled node -> incident edge indices
+    train_labels,         # labeled node -> label (or label array if multi)
+    nlabel: int,
+    multi: bool = False,
+    *,
+    h_dim: int = 50,
+    n_layers: int = 1,
+    lr: float = 1e-2,
+    reg_param: float = 1e-2,
+    dropout: float = 0.2,
+    graph_batch_size: int = 10000,
+    label_batch_size: int = 512,
+    graph_split_size: float = 0.5,
+    sampler: str = "randomwalk",
+    sample_depth: int = 3,
+    sample_width: int = 10,
+    n_epochs: int = 10,
+    grad_norm: float = 1.0,
+    backbone: str = "DMPNN",
+    node_attri: Optional[np.ndarray] = None,
+    v_max: Optional[int] = None,
+    e_max: Optional[int] = None,
+    seed: int = 0,
+    log: Callable[[str], None] = print,
+):
+    """Semi-supervised UNC training (main.py supervised branch +
+    generate_sampled_graph_and_labels_supervised, utils.py:352-396).
+    Returns (node_embeddings, coverage)."""
+    from .data import labeled_edges_sampling, match_labels_to_subgraph
+
+    rng = np.random.default_rng(seed)
+    graph = WholeGraph(num_nodes, num_rels, triplets)
+    ntrain = len(train_indices)
+    if v_max is None:
+        v_max = num_nodes
+    if e_max is None:
+        e_max = min(v_max * sample_width, graph.num_edges)
+
+    model = UNCTrainModel(
+        num_nodes=num_nodes, num_rels=num_rels, h_dim=h_dim,
+        nlabel=nlabel, num_hidden_layers=n_layers, dropout=dropout,
+        reg_param=reg_param, node_attri=node_attri, backbone=backbone,
+        multi=multi)
+
+    def make_batch(edges):
+        labeled_edges, sampled_nodes = labeled_edges_sampling(
+            train_indices, ntrain, True, label_batch_size, rng=rng)
+        labeled_samples = (triplets[labeled_edges] if len(labeled_edges)
+                           else np.zeros((0, 3), np.int64))
+        seeds = np.unique(np.concatenate(
+            [edges[:, 0], edges[:, 2],
+             labeled_samples[:, 0], labeled_samples[:, 2]]))
+        if sampler == "neighbor":
+            sub = sample_subgraph_by_neighbors(graph, seeds, sample_depth,
+                                               sample_width, rng)
+        else:
+            sub = sample_subgraph_by_randomwalks(graph, seeds, sample_depth,
+                                                 sample_width, rng)
+        labels, index = match_labels_to_subgraph(
+            sub["nid"], sampled_nodes, train_labels, nlabel, multi)
+        sub = edge_dropout(sub, graph_split_size, rng)
+        norm = compute_edgenorm(sub)
+        padded = pad_subgraph(sub, np.zeros((0, 3), np.int64),
+                              np.zeros(0, np.float32), v_max, e_max, 1,
+                              edge_norm=norm)
+        # pad matched arrays to the label envelope
+        lmax = label_batch_size
+        n_m = min(len(index), lmax)
+        mi = np.zeros(lmax, np.int64)
+        mi[:n_m] = index[:n_m]
+        mm = np.arange(lmax) < n_m
+        if multi:
+            ml = np.zeros((lmax, nlabel), np.float32)
+            if n_m:
+                ml[:n_m] = labels[:n_m]
+        else:
+            ml = np.zeros(lmax, np.int64)
+            if n_m:
+                ml[:n_m] = labels[:n_m]
+        return padded, ml, mi, mm
+
+    first, ml, mi, mm = make_batch(triplets[: graph_batch_size])
+    first_dev = {k: jnp.asarray(v) for k, v in first.items()}
+    variables = init_unc_variables(model, jax.random.PRNGKey(seed), first_dev)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    n_batches = math.ceil(len(triplets) / graph_batch_size)
+    tx = make_unc_optimizer(lr, n_epochs * n_batches, grad_norm)
+    opt_state = tx.init(params)
+    step = make_unc_supervised_step(model, tx, multi)
+
+    prev_loss = float("inf")
+    k = 0
+    for epoch in range(n_epochs):
+        losses = []
+        order = rng.permutation(len(triplets))
+        for i in range(0, len(order), graph_batch_size):
+            edges = triplets[order[i: i + graph_batch_size]]
+            padded, ml, mi, mm = make_batch(edges)
+            sub = {kk: jnp.asarray(v) for kk, v in padded.items()}
+            params, opt_state, batch_stats, loss = step(
+                params, opt_state, batch_stats, sub, jnp.asarray(ml),
+                jnp.asarray(mi), jnp.asarray(mm),
+                jax.random.fold_in(jax.random.PRNGKey(seed), k))
+            k += 1
+            losses.append(float(loss))
+        loss = sum(losses) / max(len(losses), 1)
+        log(f"Epoch {epoch:05d} | Loss {loss:.4f}")
+        if loss > prev_loss:
+            break
+        prev_loss = loss
+    return {"params": params, "batch_stats": batch_stats}, model
+
+
 def train_unc(
     triplets: np.ndarray,
     num_nodes: int,
@@ -116,6 +261,7 @@ def train_unc(
     sample_width: int = 10,
     n_epochs: int = 50,
     grad_norm: float = 1.0,
+    backbone: str = "DMPNN",
     seed_nodes: Optional[set] = None,
     node_attri: Optional[np.ndarray] = None,
     v_max: Optional[int] = None,
@@ -154,7 +300,7 @@ def train_unc(
     model = UNCTrainModel(
         num_nodes=num_nodes, num_rels=num_rels, h_dim=h_dim,
         nlabel=0, num_hidden_layers=n_layers, dropout=dropout,
-        reg_param=reg_param, node_attri=node_attri)
+        reg_param=reg_param, node_attri=node_attri, backbone=backbone)
 
     n_batches = math.ceil(len(train_edges) / graph_batch_size)
     total_steps = n_epochs * n_batches
@@ -184,8 +330,9 @@ def train_unc(
                                sample_width, graph_split_size, negative_rate,
                                v_max, e_max, s_max, rng)
             sub = {k: jnp.asarray(v) for k, v in sub.items()}
+            step_key = jax.random.fold_in(jax.random.PRNGKey(seed), len(losses))
             params, opt_state, batch_stats, loss = step(
-                params, opt_state, batch_stats, sub)
+                params, opt_state, batch_stats, sub, step_key)
             losses.append(float(loss))
         loss = sum(losses) / max(len(losses), 1)
         log(f"Epoch {epoch:05d} | Loss {loss:.4f}")

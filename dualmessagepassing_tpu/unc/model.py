@@ -189,6 +189,204 @@ class UNCDMPNN(nn.Module):
         return params["params"]["node_emb"]
 
 
+class CompGraphConv(nn.Module):
+    """UNC CompGCN layer (Model/CompGCN/src/model.py:117-264): corr/mult/sub
+    composition, in/out weights by rev flag, 1/3 self-loop averaging, edge
+    stream E @ W_rel."""
+
+    hidden_dim: int
+    comp_opt: str = "corr"
+    self_loop: bool = True
+    use_bias: bool = True
+    batch_norm: bool = False
+    activation: Optional[str] = None
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, sub, node_feat, edge_feat, edge_norm=None,
+                 train: bool = False):
+        from ..models.compgcn import comp_func
+
+        h = self.hidden_dim
+        din = node_feat.shape[-1]
+        w_in = self.param("in_weight", _xavier(), (din, h))
+        w_out = self.param("out_weight", _xavier(), (din, h))
+        w_rel = self.param("rel_weight", _xavier(), (din, h))
+        if self.self_loop:
+            w_loop = self.param("loop_weight", _xavier(), (din, h))
+            loop_rel = self.param("loop_rel", _xavier(), (1, din))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (h,))
+
+        v = sub["node_mask"].shape[0]
+        comp = comp_func(node_feat[sub["senders"]], edge_feat, self.comp_opt)
+        rev = sub["rev_flag"][:, None]
+        msg = jnp.where(rev, comp @ w_out, comp @ w_in)
+        if edge_norm is not None:
+            msg = msg * edge_norm
+        msg = jnp.where(sub["edge_mask"][:, None], msg, 0.0)
+        agg = jnp.zeros((v, h), msg.dtype).at[sub["receivers"]].add(msg)
+
+        if self.self_loop:
+            out = (agg + comp_func(node_feat, loop_rel, self.comp_opt)
+                   @ w_loop) * 0.3333333
+        else:
+            out = agg * 0.5
+        if self.use_bias:
+            out = out + bias
+        if self.batch_norm:
+            out = MaskedBatchNorm(name="bn")(out, mask=sub["node_mask"],
+                                             train=train)
+        if self.activation == "tanh":
+            out = jnp.tanh(out)
+        out = nn.Dropout(self.dropout, name="drop")(out,
+                                                    deterministic=not train)
+        return out, edge_feat @ w_rel
+
+
+def _flat_relation_agg(sub, src_feat_e, weights):
+    """agg[v] = sum_e->v src_feat_e @ W[rel(e)] via a scan over relations
+    (same MXU-friendly scheme as models/rgnn.py)."""
+    v = sub["node_mask"].shape[0]
+    num_rels = weights.shape[0]
+
+    def body(carry, wr_and_r):
+        wr, r = wr_and_r
+        sel = jnp.logical_and(sub["edge_mask"], sub["edge_type"] == r)
+        masked = jnp.where(sel[:, None], src_feat_e, 0.0)
+        partial = jnp.zeros((v, src_feat_e.shape[-1]),
+                            src_feat_e.dtype).at[sub["receivers"]].add(masked)
+        return carry + partial @ wr, None
+
+    init = jnp.zeros((v, weights.shape[2]), src_feat_e.dtype)
+    agg, _ = jax.lax.scan(body, init, (weights, jnp.arange(num_rels)))
+    return agg
+
+
+class RelGraphConvFlat(nn.Module):
+    """dgl RelGraphConv (basis, num_bases=num_rels) on the flat subgraph:
+    msg = src @ W_rel [* norm]; out = act(agg + h @ W_loop + b); used by the
+    UNC R-GCN (norm applied) and as the base of RelGraphIso (norm dropped,
+    R-GIN/src/model.py:150-157)."""
+
+    hidden_dim: int
+    num_rels: int
+    self_loop: bool = True
+    use_bias: bool = True
+    activation: Optional[str] = None
+    use_norm: bool = True
+    iso_layer: bool = False   # RelGraphIso: extra Linear + act + dropout
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, sub, node_feat, edge_norm=None, train: bool = False):
+        h = self.hidden_dim
+        din = node_feat.shape[-1]
+        weights = self.param("weight", _xavier(), (self.num_rels, din, h))
+        src = node_feat[sub["senders"]]
+        if self.use_norm and edge_norm is not None:
+            src = src * edge_norm
+        out = _flat_relation_agg(sub, src, weights)
+        if self.self_loop:
+            out = out + node_feat @ self.param("loop_weight", _xavier(),
+                                               (din, h))
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros, (h,))
+        drop = nn.Dropout(self.dropout, name="drop")
+        if self.iso_layer:
+            out = Dense_(h, name="out_layer")(out)
+        if self.activation == "tanh":
+            out = jnp.tanh(out)
+        return drop(out, deterministic=not train)
+
+
+class Dense_(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("kernel", scaled(xavier_uniform(jnp.sqrt(2.0)), 1.0),
+                       (x.shape[-1], self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return x @ w + b
+
+
+class UNCCompGCN(nn.Module):
+    """CompGCN UNC backbone (Model/CompGCN/src/model.py:267-305).
+    Returns (h, r) — relation stream transformed per layer."""
+
+    num_nodes: int
+    num_rels: int
+    h_dim: int
+    out_dim: int
+    num_hidden_layers: int = 1
+    dropout: float = 0.0
+    node_attri: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, sub, train: bool = False):
+        h, z = _input_embeddings(self, sub, rel_stream=True)
+        norm = sub.get("edge_norm")
+        for i in range(self.num_hidden_layers):
+            act = "tanh" if i < self.num_hidden_layers - 1 else None
+            h, z = CompGraphConv(
+                hidden_dim=self.out_dim, comp_opt="corr", activation=act,
+                dropout=self.dropout, name=f"layer_{i}",
+            )(sub, h, z, edge_norm=norm, train=train)
+        return h, z
+
+
+class UNCRGNN(nn.Module):
+    """R-GCN / R-GIN UNC backbones (Model/R-GCN,R-GIN/src/model.py).
+    Returns h only."""
+
+    kind: str  # "rgcn" | "rgin"
+    num_nodes: int
+    num_rels: int
+    h_dim: int
+    out_dim: int
+    num_hidden_layers: int = 1
+    dropout: float = 0.0
+    node_attri: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, sub, train: bool = False):
+        h, _ = _input_embeddings(self, sub, rel_stream=False)
+        norm = sub.get("edge_norm")
+        for i in range(self.num_hidden_layers):
+            act = "tanh" if i < self.num_hidden_layers - 1 else None
+            h = RelGraphConvFlat(
+                hidden_dim=self.out_dim, num_rels=self.num_rels,
+                activation=act, dropout=self.dropout,
+                use_norm=(self.kind == "rgcn"),
+                iso_layer=(self.kind == "rgin"),
+                name=f"layer_{i}",
+            )(sub, h, edge_norm=norm, train=train)
+        return (h,)
+
+
+def _input_embeddings(mdl, sub, rel_stream: bool):
+    """Shared input layer (EmbeddingLayer / EmbeddingLayerAttri)."""
+    if mdl.node_attri is not None:
+        h = jnp.asarray(mdl.node_attri)[sub["nid"]]
+    else:
+        emb = mdl.param(
+            "node_emb",
+            lambda k, s: jax.random.uniform(
+                k, s, jnp.float32, -1, 1) / jnp.sqrt(float(mdl.h_dim)),
+            (mdl.num_nodes, mdl.h_dim))
+        h = emb[sub["nid"]]
+    z = None
+    if rel_stream:
+        rel_emb = mdl.param(
+            "rel_emb",
+            lambda k, s: jax.random.uniform(
+                k, s, jnp.float32, -1, 1) / jnp.sqrt(float(mdl.h_dim)),
+            (mdl.num_rels, mdl.h_dim))
+        z = rel_emb[sub["edge_type"]]
+    return h, z
+
+
 class UNCTrainModel(nn.Module):
     """DistMult link prediction / supervised head around the GNN
     (model.py:632-737)."""
@@ -202,24 +400,32 @@ class UNCTrainModel(nn.Module):
     reg_param: float = 0.0
     node_attri: Optional[Any] = None
     backbone: str = "DMPNN"
+    multi: bool = False
 
     def setup(self):
         i_dim = (self.h_dim if self.node_attri is None
                  else self.node_attri.shape[1])
+        kw = dict(num_nodes=self.num_nodes, num_rels=self.num_rels * 2,
+                  h_dim=i_dim, out_dim=self.h_dim,
+                  num_hidden_layers=self.num_hidden_layers,
+                  dropout=self.dropout, node_attri=self.node_attri)
         if self.backbone == "DMPNN":
-            self.model = UNCDMPNN(
-                num_nodes=self.num_nodes, num_rels=self.num_rels * 2,
-                h_dim=i_dim, out_dim=self.h_dim,
-                num_hidden_layers=self.num_hidden_layers,
-                dropout=self.dropout, node_attri=self.node_attri)
+            self.model = UNCDMPNN(**kw)
+        elif self.backbone == "CompGCN":
+            self.model = UNCCompGCN(**kw)
+        elif self.backbone in ("RGCN", "RGIN"):
+            self.model = UNCRGNN(kind=self.backbone.lower(), **kw)
         else:
             raise NotImplementedError(self.backbone)
-        if self.nlabel == 0:
-            self.w_relation = self.param(
-                "w_relation",
-                xavier_uniform(jnp.sqrt(2.0)),  # gain('relu')
-                (self.num_rels, self.h_dim))
-        else:
+        # the reference only creates w_relation in the unsupervised branch
+        # (model.py:653-661) yet its supervised regularizer still references
+        # it — an unreachable-in-practice AttributeError; we create it in
+        # both modes so the shared regularizer is well-defined
+        self.w_relation = self.param(
+            "w_relation",
+            xavier_uniform(jnp.sqrt(2.0)),  # gain('relu')
+            (self.num_rels, self.h_dim))
+        if self.nlabel > 0:
             self.node_fc = nn.Dense(
                 self.nlabel, kernel_init=xavier_uniform(1.0),
                 bias_init=nn.initializers.zeros, name="node_fc")
@@ -240,23 +446,37 @@ class UNCTrainModel(nn.Module):
 
     def regularization(self, embedding, edge_type=None, edge_mask=None,
                        node_mask=None):
-        """mean(w_rel^2) + sum_i mean(emb_i^2) + edge_fc alignment
-        (model.py:691-715). The reference tensors are unpadded, so our means
-        run over mask-valid rows only."""
+        """mean(w_rel^2) + sum_i mean(emb_i^2) + edge_fc alignment for any
+        edge-shaped stream (model.py:691-715). The reference tensors are
+        unpadded, so our means run over mask-valid rows only; masks are
+        matched to each stream by leading-axis length (h -> node_mask,
+        z -> edge_mask, r_bar -> none)."""
         reg = jnp.mean(self.w_relation ** 2)
-        h, z, r_bar = embedding
-        reg = reg + _masked_mean_sq(h, node_mask)
-        reg = reg + _masked_mean_sq(z, edge_mask)
-        reg = reg + _masked_mean_sq(r_bar, None)
+        if not isinstance(embedding, (tuple, list)):
+            embedding = (embedding,)
+
+        def mask_for(emb):
+            if edge_mask is not None and emb.shape[0] == edge_mask.shape[0]:
+                return edge_mask
+            if node_mask is not None and emb.shape[0] == node_mask.shape[0]:
+                return node_mask
+            return None
+
+        for emb in embedding:
+            reg = reg + _masked_mean_sq(emb, mask_for(emb))
         if edge_type is not None:
-            mask = jnp.logical_and(edge_type < self.num_rels,
-                                   edge_mask if edge_mask is not None else True)
-            diff = self.edge_fc(z) - self.w_relation[
-                jnp.minimum(edge_type, self.num_rels - 1)]
-            sq = jnp.sum(diff ** 2, axis=1)
-            cnt = jnp.maximum(jnp.sum(mask), 1)
-            reg = reg + jnp.sum(jnp.where(mask, sq, 0.0)) / (
-                cnt * self.h_dim)
+            for emb in embedding:
+                if emb.shape[0] != edge_type.shape[0]:
+                    continue
+                mask = jnp.logical_and(
+                    edge_type < self.num_rels,
+                    edge_mask if edge_mask is not None else True)
+                diff = self.edge_fc(emb) - self.w_relation[
+                    jnp.minimum(edge_type, self.num_rels - 1)]
+                sq = jnp.sum(diff ** 2, axis=1)
+                cnt = jnp.maximum(jnp.sum(mask), 1)
+                reg = reg + jnp.sum(jnp.where(mask, sq, 0.0)) / (
+                    cnt * self.h_dim)
         return reg
 
     def unsupervised_loss(self, embedding, edge_type, edge_mask, samples,
@@ -288,13 +508,24 @@ class UNCTrainModel(nn.Module):
 
 def init_unc_variables(model: "UNCTrainModel", key, sub):
     """Initialize ALL parameters, including the loss-path-only edge_fc /
-    w_relation (linen creates lazily only what a traced method touches)."""
+    w_relation / node_fc (linen creates lazily only what a traced method
+    touches)."""
 
-    def full(mdl, sub):
-        out, pred = mdl(sub, train=False)
-        return mdl.unsupervised_loss(
-            out, sub["edge_type"], sub["edge_mask"], sub["samples"],
-            sub["labels"], sub["sample_mask"], sub["node_mask"])
+    if model.nlabel == 0:
+        def full(mdl, sub):
+            out, pred = mdl(sub, train=False)
+            return mdl.unsupervised_loss(
+                out, sub["edge_type"], sub["edge_mask"], sub["samples"],
+                sub["labels"], sub["sample_mask"], sub["node_mask"])
+    else:
+        def full(mdl, sub):
+            out, pred = mdl(sub, train=False)
+            ml = (jnp.zeros((1, model.nlabel), jnp.float32) if model.multi
+                  else jnp.zeros((1,), jnp.int32))
+            return mdl.supervised_loss(
+                out, sub["edge_type"], sub["edge_mask"], pred, ml,
+                jnp.zeros((1,), jnp.int32), jnp.zeros((1,), bool),
+                model.multi)
 
     return model.init(key, sub, method=full)
 

@@ -129,3 +129,40 @@ def test_unc_training_end_to_end(rng):
     assert embs.shape == (25, 8)
     assert coverage > 0.9
     assert np.isfinite(embs).all()
+
+
+@pytest.mark.parametrize("backbone", ["CompGCN", "RGCN", "RGIN"])
+def test_unc_other_backbones(rng, backbone):
+    from dualmessagepassing_tpu.unc.driver import train_unc
+
+    t = make_triplets(rng, n=20, e=80, r=2)
+    embs, coverage = train_unc(
+        t, 20, 2, h_dim=8, n_layers=2, lr=1e-2, reg_param=0.01,
+        negative_rate=2, graph_batch_size=40, graph_split_size=0.9,
+        sampler="neighbor", sample_depth=2, sample_width=5,
+        n_epochs=2, v_max=20, e_max=100, seed=0, backbone=backbone,
+        log=lambda s: None)
+    assert embs.shape == (20, 8)
+    assert np.isfinite(embs).all()
+
+
+def test_unc_supervised_training(rng):
+    from dualmessagepassing_tpu.unc.driver import train_unc_supervised
+
+    t = make_triplets(rng, n=20, e=80, r=2)
+    # label 8 nodes; incident edge indices per labeled node
+    train_indices, train_labels = {}, {}
+    for n in range(8):
+        inc = [i for i, row in enumerate(t)
+               if row[0] == n or row[2] == n]
+        if inc:
+            train_indices[n] = inc
+            train_labels[n] = n % 3
+    variables, model = train_unc_supervised(
+        t, 20, 2, train_indices, train_labels, nlabel=3, multi=False,
+        h_dim=8, n_layers=1, lr=1e-2, reg_param=0.01,
+        graph_batch_size=40, label_batch_size=4, graph_split_size=0.9,
+        sampler="neighbor", sample_depth=2, sample_width=5,
+        n_epochs=2, v_max=20, e_max=100, seed=0, log=lambda s: None)
+    assert "node_fc" in variables["params"]
+    assert "w_relation" in variables["params"]
