@@ -27,8 +27,22 @@ def enumerate_subisomorphisms(
     g_senders: np.ndarray, g_receivers: np.ndarray, g_vlabels: np.ndarray,
     g_elabels: np.ndarray,
     max_count: int = 1_000_000,
+    use_native: bool = True,
 ) -> np.ndarray:
-    """All injective label-preserving mappings, [n_iso, n_pattern_nodes]."""
+    """All injective label-preserving mappings, [n_iso, n_pattern_nodes].
+
+    Prefers the C++ backtracking kernel (csrc/hostkernels.cpp, ~5-50x
+    faster); falls back to the Python implementation below.
+    """
+    if use_native:
+        from .. import native
+        if native.available():
+            out = native.enumerate_subiso_native(
+                p_senders, p_receivers, p_elabels, p_vlabels,
+                g_senders, g_receivers, g_elabels, g_vlabels,
+                max_count=max_count)
+            if out is not None:
+                return out
     n_p = len(p_vlabels)
     n_g = len(g_vlabels)
     # adjacency with labels: edge-label sets per (u, v)
@@ -105,6 +119,14 @@ def edge_subiso_weights(
     weights = np.zeros((n_ge,), dtype=np.int64)
     if subisomorphisms.size == 0 or len(p_senders) == 0:
         return weights
+    from .. import native
+    if native.available():
+        n_g = int(max(g_senders.max(), g_receivers.max())) + 1
+        out = native.edge_subiso_weights_native(
+            p_senders, p_receivers, p_elabels,
+            g_senders, g_receivers, g_elabels, n_g, subisomorphisms)
+        if out is not None:
+            return out
     # index graph edges by (src, dst, label)
     idx: Dict[Tuple[int, int, int], List[int]] = {}
     for e, (s, r, l) in enumerate(zip(g_senders, g_receivers, g_elabels)):

@@ -153,7 +153,15 @@ class WholeGraph:
 
 def _sample_in_edges(g: WholeGraph, nodes: np.ndarray, width: int, rng):
     """<=width in-edges per node, uniform without replacement
-    (dgl.sampling.sample_neighbors(edge_dir='in') semantics)."""
+    (dgl.sampling.sample_neighbors(edge_dir='in') semantics).
+    C++ fast path in csrc/hostkernels.cpp."""
+    from .. import native
+    if native.available() and len(nodes):
+        out = native.sample_in_edges_native(
+            g.in_ptr, g.in_order, np.asarray(nodes, np.int64), width,
+            int(rng.integers(0, 2 ** 62)))
+        if out is not None:
+            return out
     eids = []
     for v in nodes:
         cand = g.in_edges(int(v))
@@ -188,28 +196,38 @@ def sample_subgraph_by_randomwalks(g: WholeGraph, seeds: np.ndarray,
                                    depth: int = 2, width: int = 10,
                                    rng=None) -> Dict[str, np.ndarray]:
     rng = rng or np.random.default_rng()
-    node_sets = [np.asarray(seeds, np.int64)]
-    for _ in range(width - 1):
-        # one walk of length `depth` per seed, following out-edges
-        cur = np.asarray(seeds, np.int64).copy()
-        alive = np.ones(len(cur), bool)
-        visited = [cur.copy()]
-        for _step in range(depth):
-            nxt = np.full(len(cur), -1, np.int64)
-            for i, v in enumerate(cur):
-                if not alive[i]:
-                    continue
-                nbrs = g.out_neighbors(int(v))
-                if len(nbrs) == 0:
-                    alive[i] = False
-                else:
-                    nxt[i] = nbrs[rng.integers(0, len(nbrs))]
-            cur = np.where(alive, np.maximum(nxt, 0), cur)
-            visited.append(cur[alive].copy())
-            if not alive.any():
-                break
-        node_sets.append(np.concatenate(visited))
-    nodes = np.unique(np.concatenate(node_sets))
+    seeds_arr = np.asarray(seeds, np.int64)
+    from .. import native
+    if native.available() and width > 1 and len(seeds_arr):
+        walks = native.random_walks_native(
+            g.out_ptr, g.receivers[g.out_order], seeds_arr, depth,
+            width - 1, int(rng.integers(0, 2 ** 62)))
+        visited = walks.reshape(-1)
+        nodes = np.unique(np.concatenate(
+            [seeds_arr, visited[visited >= 0]]))
+    else:
+        node_sets = [seeds_arr]
+        for _ in range(width - 1):
+            # one walk of length `depth` per seed, following out-edges
+            cur = seeds_arr.copy()
+            alive = np.ones(len(cur), bool)
+            visited = [cur.copy()]
+            for _step in range(depth):
+                nxt = np.full(len(cur), -1, np.int64)
+                for i, v in enumerate(cur):
+                    if not alive[i]:
+                        continue
+                    nbrs = g.out_neighbors(int(v))
+                    if len(nbrs) == 0:
+                        alive[i] = False
+                    else:
+                        nxt[i] = nbrs[rng.integers(0, len(nbrs))]
+                cur = np.where(alive, np.maximum(nxt, 0), cur)
+                visited.append(cur[alive].copy())
+                if not alive.any():
+                    break
+            node_sets.append(np.concatenate(visited))
+        nodes = np.unique(np.concatenate(node_sets))
     eids = _sample_in_edges(g, nodes, width, rng)
     return _finalize_subgraph(g, nodes, eids, set(int(s) for s in seeds))
 
