@@ -42,12 +42,13 @@ def main(argv=None):
     datasets = build_datasets(config, logger)
     if config["add_rev"]:
         for ds in datasets.values():
-            ds.add_reversed_edges(config["max_npel"], config["max_ngel"])
+            ds.dataset.add_reversed_edges(config["max_npel"],
+                                          config["max_ngel"])
     if config.get("convert_dual"):
         from ..data.dual import convert_dataset_to_dual
         for ds in datasets.values():
-            convert_dataset_to_dual(ds)
-    neigenv, eeigenv = datasets["train"].compute_eigenvalue_bounds()
+            convert_dataset_to_dual(ds.dataset)
+    neigenv, eeigenv = datasets["train"].dataset.compute_eigenvalue_bounds()
     model_cfg = to_model_config(process_model_config(config)).replace(
         init_neigenv=neigenv, init_eeigenv=eeigenv)
     model = build_model(model_cfg)
@@ -67,7 +68,8 @@ def main(argv=None):
                                 config["eval_batch_size"],
                                 seed=config["seed"])
         res = evaluate_epoch(state.variables(), eval_step, ds, sampler,
-                             return_weights=config["match_weights"])
+                             return_weights=config["match_weights"],
+                             model=model)
         logger.info("%s: %s" % (
             split, "  ".join(f"{k}: {v:.6f}" for k, v in res.items()
                              if isinstance(v, float))))

@@ -68,6 +68,10 @@ def build_datasets(config, logger):
 
         datasets = {k: GraphAdjDataset([to_record(x) for x in v])
                     for k, v in splits.items()}
+    from ..data.dataset import CollateView, collate_kind_for
+    kind = collate_kind_for(config["rep_net"])
+    datasets = {k: CollateView(v, kind, config.get("lrp_seq_len", 4))
+                for k, v in datasets.items()}
     for k, v in datasets.items():
         logger.info("%8d %s data loaded" % (len(v), k))
     return datasets
@@ -95,18 +99,25 @@ def main(argv=None):
     logger = init_logger(os.path.join(save_dir, "log.txt"),
                          log_tag=config["rep_net"])
     save_config(config, os.path.join(save_dir, "config.json"))
+    # TensorBoard scalars (reference train.py:18,688-724,1018-1025)
+    try:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(os.path.join(save_dir, "tb"))
+    except ImportError:
+        writer = None
 
     datasets = build_datasets(config, logger)
 
     # reversed edges + eigenvalue bounds (train.py:1150-1186)
     if config["add_rev"]:
         for ds in datasets.values():
-            ds.add_reversed_edges(config["max_npel"], config["max_ngel"])
+            ds.dataset.add_reversed_edges(config["max_npel"],
+                                          config["max_ngel"])
     if config["convert_dual"]:
         from ..data.dual import convert_dataset_to_dual
         for ds in datasets.values():
-            convert_dataset_to_dual(ds)
-    neigenv, eeigenv = datasets["train"].compute_eigenvalue_bounds()
+            convert_dataset_to_dual(ds.dataset)
+    neigenv, eeigenv = datasets["train"].dataset.compute_eigenvalue_bounds()
     logger.info(f"eigenvalue bounds: node {neigenv:.2f} edge {eeigenv:.2f}")
 
     model_cfg = to_model_config(process_model_config(config)).replace(
@@ -148,6 +159,9 @@ def main(argv=None):
             rng, log_fn=logger.info)
         logger.info("data_type: %-10s\tepoch: %05d/%05d\tloss: %.6f" % (
             "train", epoch, config["train_epochs"], totals["total"]))
+        if writer:
+            for k, v in totals.items():
+                writer.add_scalar(f"train/{k}", v, epoch)
 
         results = {}
         for split in ("dev", "test"):
@@ -156,7 +170,7 @@ def main(argv=None):
                                seed=config["seed"])
             res = evaluate_epoch(
                 state.variables(), eval_step, datasets[split], ev,
-                return_weights=config["match_weights"])
+                return_weights=config["match_weights"], model=model)
             results[split] = res
             logger.info("data_type: %-10s\tepoch: %05d/%05d\t%s" % (
                 split, epoch, config["train_epochs"],
@@ -164,6 +178,10 @@ def main(argv=None):
                           if isinstance(v, float))))
             save_results(res, os.path.join(
                 save_dir, f"{split}_results{epoch}.json"))
+            if writer:
+                for k, v in res.items():
+                    if isinstance(v, float):
+                        writer.add_scalar(f"{split}/{k}", v, epoch)
 
         dev_metric = results["dev"].get(metric, float("nan"))
         if dev_metric < best_dev:
@@ -185,6 +203,8 @@ def main(argv=None):
                 and stale_metric > config["early_stop_rounds"]):
             logger.info(f"early stop at epoch {epoch}")
             break
+    if writer:
+        writer.close()
     logger.info("training done; best dev %s: %.6f" % (metric, best_dev))
     return save_dir
 

@@ -207,3 +207,39 @@ def _padded(w: np.ndarray, n: int) -> np.ndarray:
     out = np.zeros((n,), np.float32)
     out[: len(w)] = w
     return out
+
+
+class CollateView:
+    """A dataset view whose `batchify` routes to the collate a model family
+    needs: 'graph' (GNNs), 'edgeseq' (CNN/RNN/TXL), 'lrp' (LRP/DMPLRP).
+    Lets the epoch drivers stay collate-agnostic."""
+
+    def __init__(self, dataset: GraphAdjDataset, kind: str = "graph",
+                 lrp_seq_len: int = 4):
+        self.dataset = dataset
+        self.kind = kind
+        self.lrp_seq_len = lrp_seq_len
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def sizes(self):
+        return self.dataset.sizes()
+
+    def batchify(self, indices, return_weights="none"):
+        if self.kind == "graph":
+            return self.dataset.batchify(indices, return_weights)
+        if self.kind == "edgeseq":
+            return self.dataset.batchify_edgeseq(indices, return_weights)
+        if self.kind == "lrp":
+            return self.dataset.batchify_lrp(indices, return_weights,
+                                             self.lrp_seq_len)
+        raise ValueError(self.kind)
+
+
+def collate_kind_for(rep_net: str) -> str:
+    if rep_net in ("CNN", "RNN", "TXL"):
+        return "edgeseq"
+    if rep_net in ("LRP", "DMPLRP"):
+        return "lrp"
+    return "graph"

@@ -14,6 +14,7 @@ predicted and gold node/edge weight vectors), plus timing.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
@@ -82,7 +83,7 @@ def make_train_step(model, tx, bp_loss: str = "MSE",
             return w
         return fn(w[..., None])[..., 0]
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, pattern: GraphBatch, graph: GraphBatch,
                    counts, node_weights, edge_weights,
                    neg_slope, match_loss_w, match_reg_w, rep_reg_w,
@@ -161,10 +162,17 @@ def train_epoch(
             idx, return_weights)
         step = epoch * epoch_steps + batch_id
         rng_key, drop_key = jax.random.split(rng_key)
+        # placeholder weight targets (EdgeSeqBatch has one mask for both)
+        v_mask = getattr(graph, "node_mask", None)
+        if v_mask is None:
+            v_mask = graph.mask
+        e_mask = getattr(graph, "edge_mask", None)
+        if e_mask is None:
+            e_mask = graph.mask
         state, losses = train_step(
             state, pattern, graph, counts,
-            nw if nw is not None else jnp.zeros_like(graph.node_mask, jnp.float32),
-            ew if ew is not None else jnp.zeros_like(graph.edge_mask, jnp.float32),
+            nw if nw is not None else jnp.zeros(v_mask.shape, jnp.float32),
+            ew if ew is not None else jnp.zeros(e_mask.shape, jnp.float32),
             jnp.float32(neg_slp_s(step)), jnp.float32(match_w_s(step)),
             jnp.float32(match_r_s(step)), jnp.float32(rep_r_s(step)),
             jnp.float32(lr_s(step)), drop_key,
@@ -185,8 +193,19 @@ def evaluate_epoch(
     dataset,
     sampler,
     return_weights: str = "none",
+    model=None,
 ) -> Dict[str, Any]:
-    """Eval metrics suite (train.py:847-1061)."""
+    """Eval metrics suite (train.py:847-1061). `model` is needed only for
+    architectures whose refine hooks change sequence lengths (CNN) so the
+    weight targets can follow (train.py:630,641)."""
+
+    def refine(kind, w):
+        if w is None or model is None:
+            return w
+        fn = getattr(model, f"refine_{kind}_weights", None)
+        if fn is None:
+            return w
+        return fn(w[..., None])[..., 0]
     preds, golds = [], []
     neds, eeds = [], []
     t_total = 0.0
@@ -203,12 +222,14 @@ def evaluate_epoch(
         preds.append(np.asarray(pred_c)[:, 0])
         golds.append(np.asarray(counts)[:, 0])
         if pred_v is not None and nw is not None:
+            nw_r = refine("node", nw)
             pv = np.maximum(np.asarray(pred_v), 0) * np.asarray(g_v_mask)
-            w = np.asarray(nw) * np.asarray(g_v_mask)
+            w = np.asarray(nw_r) * np.asarray(g_v_mask)
             neds.append(np.abs(pv - w).sum(axis=1))
         if pred_e is not None and ew is not None:
+            ew_r = refine("edge", ew)
             pe = np.maximum(np.asarray(pred_e), 0) * np.asarray(g_e_mask)
-            w = np.asarray(ew) * np.asarray(g_e_mask)
+            w = np.asarray(ew_r) * np.asarray(g_e_mask)
             eeds.append(np.abs(pe - w).sum(axis=1))
 
     pred = np.concatenate(preds) if preds else np.zeros(0)
