@@ -136,6 +136,8 @@ def add_train_config(parser):
     g.add_argument("--match_reg_w", type=str2value, default=0.0001)
     g.add_argument("--rep_reg_w", type=str2value, default=0.0001)
     g.add_argument("--curriculum_warmup_epochs", type=int, default=-1)
+    g.add_argument("--profile_dir", type=str, default="",
+                   help="write a jax.profiler trace of the first epoch here")
 
 
 def get_train_config(argv=None) -> Dict[str, Any]:

@@ -130,6 +130,26 @@ def main(argv=None):
     n_params = sum(x.size for x in jax.tree.leaves(variables))
     logger.info(f"model built: {n_params} parameters")
 
+    # finetune: restore a previous run's best checkpoint and expand it onto
+    # this (possibly larger-vocab) model (train.py:90-111,1209-1223 +
+    # basemodel.py:167-219)
+    if config.get("load_model_dir"):
+        from ..train.checkpoint import expand_params, restore_state
+        from ..utils.io import load_config as _load_cfg
+        from ..utils.log import get_best_epochs
+        src = config["load_model_dir"]
+        src_cfg = _load_cfg(os.path.join(src, "config.json"))
+        best = get_best_epochs(os.path.join(src, "log.txt"))
+        src_epoch = best["eval-" + src_cfg["eval_metric"]]["dev"][0]
+        logger.info(f"finetuning from {src} epoch {src_epoch}")
+        src_state = restore_state(os.path.join(src, f"epoch{src_epoch}"))
+        variables = {
+            "params": expand_params(src_state.params, variables["params"],
+                                    pre_pad=True),
+            **({"batch_stats": variables["batch_stats"]}
+               if "batch_stats" in variables else {}),
+        }
+
     tx = make_optimizer(config["lr"], config["weight_decay"],
                         config["max_grad_norm"])
     state = TrainState.create(variables, tx)
@@ -154,9 +174,13 @@ def main(argv=None):
             config["train_batch_size"], group_by=["g_len", "p_len"],
             shuffle=True, seed=config["seed"])
         sampler.set_epoch(epoch)
-        state, totals = train_epoch(
-            state, train_step, datasets["train"], sampler, config, epoch,
-            rng, log_fn=logger.info)
+        from ..utils.profiling import trace
+        with trace(config.get("profile_dir") if epoch == 0 else None):
+            state, totals = train_epoch(
+                state, train_step, datasets["train"], sampler, config,
+                epoch, rng, log_fn=logger.info)
+        logger.info("train throughput: %.0f edges/s"
+                    % totals.get("edges_per_sec", 0.0))
         logger.info("data_type: %-10s\tepoch: %05d/%05d\tloss: %.6f" % (
             "train", epoch, config["train_epochs"], totals["total"]))
         if writer:

@@ -157,11 +157,14 @@ def train_epoch(
     totals = {"total": 0.0, "count_loss": 0.0, "match_v_loss": 0.0,
               "match_e_loss": 0.0, "rep_reg": 0.0}
     n = 0
+    from ..utils.profiling import Throughput
+    tp = Throughput()
     for batch_id, idx in enumerate(sampler):
         ids, pattern, graph, counts, (nw, ew) = dataset.batchify(
             idx, return_weights)
         step = epoch * epoch_steps + batch_id
         rng_key, drop_key = jax.random.split(rng_key)
+        tp.start()
         # placeholder weight targets (EdgeSeqBatch has one mask for both)
         v_mask = getattr(graph, "node_mask", None)
         if v_mask is None:
@@ -178,13 +181,20 @@ def train_epoch(
             jnp.float32(lr_s(step)), drop_key,
         )
         bsz = counts.shape[0]
+        # count real (unpadded) edges across both graphs of the pair batch
+        edges = int(jnp.sum(getattr(graph, "n_edge", getattr(graph, "n_tuple", 0)))
+                    + jnp.sum(getattr(pattern, "n_edge",
+                                      getattr(pattern, "n_tuple", 0))))
+        tp.stop(edges)
         n += bsz
         for k in totals:
             totals[k] += float(losses[k]) * bsz
         if log_fn and batch_id % config.get("log_every", 100) == 0:
             log_fn(f"epoch {epoch} step {batch_id}/{epoch_steps} "
                    f"loss {float(losses['total']):.6f}")
-    return state, {k: v / max(n, 1) for k, v in totals.items()}
+    out = {k: v / max(n, 1) for k, v in totals.items()}
+    out["edges_per_sec"] = tp.edges_per_sec
+    return state, out
 
 
 def evaluate_epoch(

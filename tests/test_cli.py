@@ -74,3 +74,45 @@ def test_cli_end_to_end(tmp_path):
     eval_main(["--load_model_dir", save_dir])
     files = os.listdir(save_dir)
     assert any(f.startswith("eval_test_results") for f in files)
+
+
+def test_unc_cli(tmp_path, rng):
+    from dualmessagepassing_tpu.cli.unc_train import main as unc_main
+
+    link = tmp_path / "link.dat"
+    with open(link, "w") as f:
+        f.write("20 2\n")
+        for _ in range(80):
+            s = rng.integers(0, 20)
+            d = (s + rng.integers(1, 20)) % 20
+            f.write(f"{s} {rng.integers(0, 2)} {d}\n")
+    out = tmp_path / "emb.dat"
+    unc_main(["--link", str(link), "--output", str(out), "--model", "DMPNN",
+              "--n_hidden", "8", "--n_layers", "1",
+              "--graph_batch_size", "40", "--n_epochs", "1",
+              "--sample_depth", "2", "--sample_width", "4",
+              "--graph_split_size", "0.9"])
+    lines = open(out).read().splitlines()
+    assert len(lines) == 21  # header + 20 nodes
+    vec = lines[1].split("\t")[1].split(" ")
+    assert len(vec) == 8
+
+
+def test_finetune_flow(tmp_path):
+    from dualmessagepassing_tpu.cli.scm_train import main as train_main
+
+    common = ["--synthetic", "True", "--synthetic_pairs", "8",
+              "--max_npv", "3", "--max_npe", "3",
+              "--max_ngv", "6", "--max_nge", "10",
+              "--hid_dim", "8", "--pred_hid_dim", "8",
+              "--rep_num_pattern_layers", "1", "--rep_num_graph_layers", "1",
+              "--train_epochs", "1", "--train_batch_size", "8",
+              "--eval_batch_size", "8"]
+    d1 = train_main(common + ["--max_npvl", "2", "--max_npel", "2",
+                              "--max_ngvl", "2", "--max_ngel", "2",
+                              "--save_model_dir", str(tmp_path / "a")])
+    d2 = train_main(common + ["--max_npvl", "5", "--max_npel", "5",
+                              "--max_ngvl", "5", "--max_ngel", "5",
+                              "--load_model_dir", d1,
+                              "--save_model_dir", str(tmp_path / "b")])
+    assert os.path.exists(os.path.join(d2, "log.txt"))
