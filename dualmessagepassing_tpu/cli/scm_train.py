@@ -21,10 +21,31 @@ import numpy as np
 
 
 def build_datasets(config, logger):
+    import os as _os
+
     from ..data.dataset import GraphAdjDataset
     from ..data.synthetic import generate_dataset
     from ..graph import single_graph
     from ..utils.io import load_data
+
+    # preprocessed-dataset cache (reference train.py:114-134: .pt reload)
+    cache_dir = config.get("save_data_dir")
+    if cache_dir and all(
+            _os.path.exists(_os.path.join(cache_dir, f"{k}_dataset.pkl"))
+            for k in ("train", "dev", "test")):
+        logger.info(f"loading cached datasets from {cache_dir}")
+        datasets = {
+            k: GraphAdjDataset().load(
+                _os.path.join(cache_dir, f"{k}_dataset.pkl"))
+            for k in ("train", "dev", "test")
+        }
+        from ..data.dataset import CollateView, collate_kind_for
+        kind = collate_kind_for(config["rep_net"])
+        datasets = {k: CollateView(v, kind, config.get("lrp_seq_len", 4))
+                    for k, v in datasets.items()}
+        for k, v in datasets.items():
+            logger.info("%8d %s data loaded (cache)" % (len(v), k))
+        return datasets
 
     if config["synthetic"]:
         logger.info("generating synthetic Erdos-Renyi datasets")
@@ -68,6 +89,11 @@ def build_datasets(config, logger):
 
         datasets = {k: GraphAdjDataset([to_record(x) for x in v])
                     for k, v in splits.items()}
+    if cache_dir:
+        _os.makedirs(cache_dir, exist_ok=True)
+        for k, v in datasets.items():
+            v.save(_os.path.join(cache_dir, f"{k}_dataset.pkl"))
+        logger.info(f"datasets cached to {cache_dir}")
     from ..data.dataset import CollateView, collate_kind_for
     kind = collate_kind_for(config["rep_net"])
     datasets = {k: CollateView(v, kind, config.get("lrp_seq_len", 4))
@@ -152,6 +178,10 @@ def main(argv=None):
 
     tx = make_optimizer(config["lr"], config["weight_decay"],
                         config["max_grad_norm"])
+    # gradient accumulation (reference train_grad_steps, train.py:679-684)
+    if config.get("train_grad_steps", 1) > 1:
+        import optax
+        tx = optax.MultiSteps(tx, config["train_grad_steps"])
     state = TrainState.create(variables, tx)
     train_step = make_train_step(model, tx, config["bp_loss"],
                                  config["match_weights"])
@@ -167,13 +197,29 @@ def main(argv=None):
     stale_loss = stale_metric = 0
     rng = jax.random.PRNGKey(config["seed"])
     metric = config["eval_metric"]
+    import numpy as _np
     for epoch in range(config["train_epochs"]):
         used_ratio = min(1.0, 0.5 + 0.5 * epoch / max(warmup, 1))
+        # per-epoch train_ratio subsetting (train.py:1266-1290)
+        train_sizes = sizes["train"]
+        subset = None
+        if config.get("train_ratio", 1.0) < 1.0:
+            sub_rng = _np.random.default_rng(config["seed"] + epoch)
+            n_keep = max(1, int(len(train_sizes) * config["train_ratio"]))
+            subset = sub_rng.permutation(len(train_sizes))[:n_keep]
+            train_sizes = [train_sizes[i] for i in subset]
         sampler = CurriculumSampler(
-            sizes["train"], ["p_len", "g_len"], used_ratio,
+            train_sizes, ["p_len", "g_len"], used_ratio,
             config["train_batch_size"], group_by=["g_len", "p_len"],
             shuffle=True, seed=config["seed"])
         sampler.set_epoch(epoch)
+        if subset is not None:
+            _sub = subset
+            sampler = type("S", (), {
+                "__iter__": (lambda self, s=sampler, m=_sub:
+                             iter(m[b] for b in s)),
+                "__len__": lambda self, s=sampler: len(s),
+            })()
         from ..utils.profiling import trace
         with trace(config.get("profile_dir") if epoch == 0 else None):
             state, totals = train_epoch(

@@ -64,6 +64,34 @@ def generate_pair(
     }
 
 
+def generate_large_graph(num_nodes: int, num_edges: int, num_rels: int = 4,
+                         seed: int = 0, power_law: bool = True):
+    """Synthetic large-graph triplets for the scale-out configs
+    (SURVEY §7.2 item 6: the 100M-edge generator).
+
+    power_law gives a heavy-tailed degree distribution (the hard case for
+    segment-sum skew, SURVEY §7.3); returns (triplets [E, 3], num_nodes).
+    Memory: 24 bytes/edge — 100M edges ≈ 2.4 GB host RAM.
+    """
+    rng = np.random.default_rng(seed)
+    if power_law:
+        # preferential-attachment-ish: sample endpoints from a zipf-weighted
+        # permutation of node ids
+        w = 1.0 / np.arange(1, num_nodes + 1) ** 0.8
+        w /= w.sum()
+        perm = rng.permutation(num_nodes)
+        src = perm[rng.choice(num_nodes, size=num_edges, p=w)]
+        dst = perm[rng.choice(num_nodes, size=num_edges, p=w)]
+    else:
+        src = rng.integers(0, num_nodes, num_edges)
+        dst = rng.integers(0, num_nodes, num_edges)
+    # no self loops
+    clash = src == dst
+    dst[clash] = (dst[clash] + 1) % num_nodes
+    rel = rng.integers(0, num_rels, num_edges)
+    return (np.stack([src, rel, dst], axis=1).astype(np.int64), num_nodes)
+
+
 def generate_dataset(
     n_pairs: int,
     seed: int = 0,

@@ -212,10 +212,10 @@ class EmbNet(nn.Module):
             # 1/(enc_dim // base) = 1/enc_len (basemodel.py:1066-1071)
             return cfg.base / d if self.rescale else 1.0
 
-        self.v = Embedding(dims["v"], h, init=init, scale=scale(dims["v"]))
-        self.vl = Embedding(dims["vl"], h, init=init, scale=scale(dims["vl"]))
+        self.v = Embedding(dims["v"], h, weight_init=init, scale=scale(dims["v"]))
+        self.vl = Embedding(dims["vl"], h, weight_init=init, scale=scale(dims["vl"]))
         if self.include_el:
-            self.el = Embedding(dims["el"], h, init=init, scale=scale(dims["el"]))
+            self.el = Embedding(dims["el"], h, weight_init=init, scale=scale(dims["el"]))
 
     def __call__(self, enc: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         cfg = self.cfg

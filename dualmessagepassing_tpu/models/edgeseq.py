@@ -95,11 +95,11 @@ class EdgeSeqEmbNet(nn.Module):
         dims = cfg.enc_dims(self.which)
         init = cfg.emb_net.lower()
         h = cfg.hid_dim
-        self.u = Embedding(dims["v"], h, init=init)
-        self.v = Embedding(dims["v"], h, init=init)
-        self.ul = Embedding(dims["vl"], h, init=init)
-        self.el = Embedding(dims["el"], h, init=init)
-        self.vl = Embedding(dims["vl"], h, init=init)
+        self.u = Embedding(dims["v"], h, weight_init=init)
+        self.v = Embedding(dims["v"], h, weight_init=init)
+        self.ul = Embedding(dims["vl"], h, weight_init=init)
+        self.el = Embedding(dims["el"], h, weight_init=init)
+        self.vl = Embedding(dims["vl"], h, weight_init=init)
 
     def __call__(self, enc: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         return (self.u(enc["u"]) + self.v(enc["v"]) + self.ul(enc["ul"])

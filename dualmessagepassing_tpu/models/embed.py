@@ -82,11 +82,11 @@ class Embedding(nn.Module):
 
     num_embeddings: int
     features: int
-    init: str = "orthogonal"
-    scale: float = 1.0
+    weight_init: str = "orthogonal"   # named weight_init: `init` would
+    scale: float = 1.0                # shadow nn.Module.init
 
     def _init_fn(self):
-        init = self.init
+        init = self.weight_init
 
         def f(key, shape, dtype=jnp.float32):
             n, d = shape

@@ -155,3 +155,49 @@ def shard_flat_edges(mesh: Mesh, arrays: Dict[str, Any]) -> Dict[str, Any]:
     """device_put edge arrays with 'ep' sharding on axis 0."""
     ep = NamedSharding(mesh, P("ep"))
     return {k: jax.device_put(jnp.asarray(v), ep) for k, v in arrays.items()}
+
+
+def make_edge_parallel_train_step(
+    mesh: Mesh,
+    num_nodes: int,
+    num_layers: int,
+    lr: float = 1e-2,
+):
+    """Full edge-partitioned DistMult training step.
+
+    Demonstrates the 100M-edge scale-out shape end to end: forward under
+    shard_map (edge state sharded over 'ep', one psum per layer), DistMult
+    scoring on replicated node outputs, BCE loss, and gradients — shard_map's
+    transpose inserts the reverse collectives automatically, so replicated
+    parameter grads come out already all-reduced. SGD update for
+    demonstration; swap any optax transformation in production.
+
+    Returns jitted (params, node_feat, edge_feat, edge arrays, samples,
+    labels) -> (params, loss).
+    """
+    fwd = make_edge_parallel_dmp_apply(mesh, num_nodes, num_layers)
+
+    def loss_fn(params, node_feat, edge_feat, senders, receivers, rev_flag,
+                edge_mask, samples, labels, w_relation):
+        h, _e = fwd(params, node_feat, edge_feat, senders, receivers,
+                    rev_flag, edge_mask)
+        s = h[samples[:, 0]]
+        r = w_relation[samples[:, 1]]
+        o = h[samples[:, 2]]
+        score = jnp.sum(s * r * o, axis=1)
+        bce = (jnp.maximum(score, 0) - score * labels
+               + jnp.log1p(jnp.exp(-jnp.abs(score))))
+        return jnp.mean(bce)
+
+    @jax.jit
+    def train_step(params, w_relation, node_feat, edge_feat, senders,
+                   receivers, rev_flag, edge_mask, samples, labels):
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 9))(
+            params, node_feat, edge_feat, senders, receivers, rev_flag,
+            edge_mask, samples, labels, w_relation)
+        g_params, g_rel = grads
+        params = jax.tree.map(lambda p, g: p - lr * g, params, g_params)
+        w_relation = w_relation - lr * g_rel
+        return params, w_relation, loss
+
+    return train_step

@@ -109,3 +109,45 @@ def test_pad_to_multiple():
     out = pad_to_multiple(arrays, 8)
     assert len(out["senders"]) == 16
     assert out["edge_mask"].sum() == 10
+
+
+def test_edge_parallel_training_step(rng):
+    """Full edge-partitioned DistMult training: loss decreases, grads flow."""
+    from dualmessagepassing_tpu.data.synthetic import generate_large_graph
+    from dualmessagepassing_tpu.parallel.edge_partition import (
+        make_edge_parallel_train_step)
+
+    n_dev = 8
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), axis_names=("ep",))
+    V, H, R = 32, 16, 3
+    triplets, _ = generate_large_graph(V, 240, R, seed=1, power_law=True)
+    # doubled edge set like the UNC whole graph
+    senders = np.concatenate([triplets[:, 0], triplets[:, 2]]).astype(np.int32)
+    receivers = np.concatenate([triplets[:, 2], triplets[:, 0]]).astype(np.int32)
+    rev = np.concatenate([np.zeros(240, bool), np.ones(240, bool)])
+    arrays = pad_to_multiple(
+        {"senders": senders, "receivers": receivers, "rev_flag": rev}, n_dev)
+
+    params = init_edge_parallel_params(jax.random.PRNGKey(0), 2, H)
+    w_rel = 0.1 * np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (R, H)))
+    node_feat = jnp.asarray(rng.normal(size=(V, H)), jnp.float32) * 0.1
+    edge_feat = jnp.asarray(
+        rng.normal(size=(len(arrays["senders"]), H)), jnp.float32) * 0.1
+
+    samples = jnp.asarray(triplets[:64])
+    labels = jnp.asarray((rng.random(64) < 0.5).astype(np.float32))
+
+    step = make_edge_parallel_train_step(mesh, V, 2, lr=0.05)
+    with mesh:
+        sharded = shard_flat_edges(mesh, arrays)
+        losses = []
+        w_rel_j = jnp.asarray(w_rel)
+        for _ in range(6):
+            params, w_rel_j, loss = step(
+                params, w_rel_j, node_feat, edge_feat,
+                sharded["senders"], sharded["receivers"],
+                sharded["rev_flag"], sharded["edge_mask"], samples, labels)
+            losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"

@@ -115,3 +115,15 @@ def test_share_rep_net_parameter_count(rng):
                 jax.random.PRNGKey(0), pattern, graph))
     )
     assert n_sep > n_shared
+
+
+def test_equivariant_embedding_is_circulant():
+    import jax
+    import jax.numpy as jnp
+    from dualmessagepassing_tpu.models.embed import Embedding
+
+    emb = Embedding(6, 6, weight_init="equivariant")
+    params = emb.init(jax.random.PRNGKey(0), jnp.zeros((1,), jnp.int32))
+    w = np.asarray(params["params"]["weight"])
+    for i in range(6):
+        np.testing.assert_allclose(w[i], np.roll(w[0], i), rtol=1e-6)

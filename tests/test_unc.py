@@ -166,3 +166,57 @@ def test_unc_supervised_training(rng):
         n_epochs=2, v_max=20, e_max=100, seed=0, log=lambda s: None)
     assert "node_fc" in variables["params"]
     assert "w_relation" in variables["params"]
+
+
+def test_dualgraphconv_matches_oracle(rng):
+    """UNC DualGraphConv vs a per-edge numpy oracle (incl. edge_norm)."""
+    from dualmessagepassing_tpu.unc.model import DualGraphConv
+
+    V, E, H = 6, 12, 8
+    senders = rng.integers(0, V, E)
+    receivers = rng.integers(0, V, E)
+    rev = rng.random(E) < 0.5
+    norm = rng.random((E, 1)).astype(np.float32)
+    sub = {
+        "senders": jnp.asarray(senders), "receivers": jnp.asarray(receivers),
+        "rev_flag": jnp.asarray(rev), "edge_mask": jnp.ones(E, bool),
+        "node_mask": jnp.ones(V, bool),
+    }
+    v_feat = rng.normal(size=(V, H)).astype(np.float32)
+    e_feat = rng.normal(size=(E, H)).astype(np.float32)
+
+    layer = DualGraphConv(hidden_dim=H, batch_norm=False, activation=None)
+    variables = layer.init(jax.random.PRNGKey(0), sub, jnp.asarray(v_feat),
+                           jnp.asarray(e_feat), edge_norm=jnp.asarray(norm))
+    n_out, e_out = layer.apply(variables, sub, jnp.asarray(v_feat),
+                               jnp.asarray(e_feat),
+                               edge_norm=jnp.asarray(norm))
+    p = jax.tree.map(np.asarray, variables["params"])
+
+    def mlp(pm, x):
+        y = x @ pm["fc0_kernel"] + pm["fc0_bias"]
+        y = np.where(y > 0, y, y / 5.5)
+        return y @ pm["fc1_kernel"] + pm["fc1_bias"]
+
+    agg = np.zeros((V, H))
+    edge_msg = np.zeros((E, H))
+    out_deg = np.bincount(senders, minlength=V).astype(np.float64)
+    for i in range(E):
+        u, d = senders[i], receivers[i]
+        if rev[i]:
+            edge_msg[i] = v_feat[u] @ p["dst_weight"] - v_feat[d] @ p["src_weight"]
+            msg = e_feat[i] @ p["out_weight"]
+        else:
+            edge_msg[i] = v_feat[d] @ p["dst_weight"] - v_feat[u] @ p["src_weight"]
+            msg = -(e_feat[i] @ p["in_weight"])
+        agg[d] += msg * norm[i, 0]
+    want_n = mlp(p["nmlp"], v_feat @ p["nloop_weight"] + agg + p["nbias"])
+    want_e = np.zeros((E, H))
+    for i in range(E):
+        dd = np.log2(1.0 + out_deg[receivers[i]])
+        add = 2.0 * (1.0 + dd) * (e_feat[i] @ (p["src_weight"] - p["dst_weight"]))
+        want_e[i] = e_feat[i] @ p["eloop_weight"] + edge_msg[i] + add + p["ebias"]
+    want_e = mlp(p["emlp"], want_e)
+
+    np.testing.assert_allclose(np.asarray(n_out), want_n, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(e_out), want_e, rtol=1e-4, atol=1e-4)
