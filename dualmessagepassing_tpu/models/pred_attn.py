@@ -176,9 +176,79 @@ def window_selection(lengths: jnp.ndarray, seq_len: int, mem_len: int,
     return sel, mem_mask
 
 
+def window_bounds(lengths: jnp.ndarray, mem_len: int, circular: bool):
+    """Per-sample (start [B, M], kernel [B, M]) of each memory slot's window
+    in the virtual (possibly circular-padded) sequence; kernel 0 for empty
+    slots. Mirrors the two regimes of init_mem (pred.py:656-758)."""
+    l = lengths.astype(jnp.int32)[:, None]                      # [B,1]
+    k_ids = jnp.arange(mem_len, dtype=jnp.int32)[None, :]       # [1,M]
+    pad = jnp.where(l > 0, (l + 2) // 2 - 1, 0) if circular else jnp.zeros_like(l)
+    lv = l + pad
+    stride = jnp.maximum(lv // mem_len, 1)
+    kernel_a = lv - (mem_len - 1) * stride
+    start_a = k_ids * stride
+    # regime B (lv <= mem_len): slot k holds position k - (M - lv), kernel 1
+    start_b = k_ids - (mem_len - lv)
+    valid_b = start_b >= 0
+    start = jnp.where(lv > mem_len, start_a, jnp.maximum(start_b, 0))
+    kernel = jnp.where(lv > mem_len, kernel_a,
+                       valid_b.astype(jnp.int32))
+    return start, kernel, lv[:, 0]
+
+
+class WindowLSTMMem(nn.Module):
+    """lstm mem_init: per-slot LSTM over the window's elements, final hidden
+    state as the slot value (init_mem lstm branches, pred.py:691-702,
+    741-748) — static-shape via per-slot gathered windows + nn.RNN with
+    seq_lengths."""
+
+    features: int
+    mem_len: int
+    circular: bool = False
+
+    @nn.compact
+    def __call__(self, x, x_mask, train: bool = False):
+        b, seq_len, d = x.shape
+        if x_mask is None:
+            lengths = jnp.full((b,), seq_len, jnp.int32)
+        else:
+            lengths = jnp.sum(x_mask.astype(jnp.int32), axis=1)
+        start, kernel, lv = window_bounds(lengths, self.mem_len,
+                                          self.circular)
+        m = self.mem_len
+        k_max = max(seq_len + (seq_len + 2) // 2 - 1 if self.circular
+                    else seq_len - m + 1, 1)
+        # gather window elements: virtual index start + j, folded mod l
+        j = jnp.arange(k_max, dtype=jnp.int32)[None, None, :]   # [1,1,K]
+        virt = start[:, :, None] + j                            # [B,M,K]
+        real = jnp.where(lengths[:, None, None] > 0,
+                         virt % jnp.maximum(lengths[:, None, None], 1), 0)
+        win = jnp.take_along_axis(
+            x[:, None, :, :].repeat(m, axis=1),
+            jnp.minimum(real, seq_len - 1)[..., None].repeat(d, -1), axis=2)
+        win = win.reshape(b * m, k_max, d)
+        seq_lengths = jnp.minimum(kernel, k_max).reshape(b * m)
+        rnn = nn.RNN(
+            nn.OptimizedLSTMCell(
+                self.features,
+                kernel_init=get_initializer("uniform"),
+                recurrent_kernel_init=get_initializer("uniform"),
+                name="cell"),
+            return_carry=True, name="lstm")
+        carry, _outs = rnn(win, seq_lengths=seq_lengths)
+        # LSTM carry = (c, h); reference uses hx[0].view(bsz, 1, -1) — torch
+        # hx[0] is h
+        h = carry[1] if isinstance(carry, tuple) else carry
+        mem = h.reshape(b, m, self.features)
+        mem_mask = kernel > 0
+        mem = jnp.where(mem_mask[..., None], mem, 0.0)
+        return mem, mem_mask
+
+
 def init_mem_static(x: jnp.ndarray, x_mask: Optional[jnp.ndarray],
                     mem_len: int, mem_init: str,
                     attn: Optional[DotAttention] = None,
+                    lstm: Optional[WindowLSTMMem] = None,
                     train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched init_mem (pred.py:648-760) for mean/sum/max/attn (+circular)."""
     b, seq_len, d = x.shape
@@ -220,10 +290,12 @@ def init_mem_static(x: jnp.ndarray, x_mask: Optional[jnp.ndarray],
             score = jnp.where(sel > 0, score, 0.0)
             mem = jnp.einsum("bml,bld->bmd", score, x)
         mem = jnp.where(mem_mask[..., None], mem, 0.0)
+    elif base == "lstm":
+        if lstm is None:
+            raise ValueError("lstm mem_init requires a WindowLSTMMem module")
+        return lstm(x, x_mask, train=train)
     else:
-        raise NotImplementedError(
-            f"mem_init '{mem_init}' (lstm variants are roadmap — static-scan "
-            "LSTM over window masks)")
+        raise NotImplementedError(f"mem_init '{mem_init}'")
     return mem, mem_mask
 
 
@@ -291,18 +363,25 @@ class MemDotAttention(nn.Module):
         proj_k = Dense(self.mem_dim, init=self.param_init, name="proj_k")
         proj_v = Dense(self.mem_dim, init=self.param_init, name="proj_v")
         inner_attn = None
+        inner_lstm_k = inner_lstm_v = None
         if self.mem_init.endswith("attn"):
             inner_attn = DotAttention(
                 hidden_dim=self.hidden_dim, num_heads=self.num_heads,
                 scale=1.0 / math.sqrt(self.hidden_dim / self.num_heads),
                 score_func=self.score_func, param_init=self.param_init,
                 name="mem_attn")
+        elif self.mem_init.endswith("lstm"):
+            circ = self.mem_init.startswith("circular")
+            inner_lstm_k = WindowLSTMMem(self.mem_dim, self.mem_len, circ,
+                                         name="mem_lstm_k")
+            inner_lstm_v = WindowLSTMMem(self.mem_dim, self.mem_len, circ,
+                                         name="mem_lstm_v")
         mem_k, mem_k_mask = init_mem_static(
             proj_k(key), key_mask, self.mem_len, self.mem_init,
-            attn=inner_attn, train=train)
+            attn=inner_attn, lstm=inner_lstm_k, train=train)
         mem_v, _ = init_mem_static(
             proj_v(value), key_mask, self.mem_len, self.mem_init,
-            attn=inner_attn, train=train)
+            attn=inner_attn, lstm=inner_lstm_v, train=train)
         return DotAttention(
             hidden_dim=self.hidden_dim, num_heads=self.num_heads,
             scale=1.0, score_func=self.score_func, add_gate=self.add_gate,
@@ -385,7 +464,12 @@ class DIAMNet(nn.Module):
                                         self.mem_init, attn=mem_layer,
                                         train=train)
         elif self.mem_init.endswith("lstm"):
-            raise NotImplementedError("DIAMNet lstm mem_init is roadmap")
+            mem_layer = WindowLSTMMem(
+                h, self.mem_len, self.mem_init.startswith("circular"),
+                name="mem_layer")
+            m, m_mask = init_mem_static(g_rep, g_mask, self.mem_len,
+                                        self.mem_init, lstm=mem_layer,
+                                        train=train)
         else:
             m, m_mask = init_mem_static(g_rep, g_mask, self.mem_len,
                                         self.mem_init, train=train)

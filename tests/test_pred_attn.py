@@ -120,3 +120,49 @@ def test_model_with_attn_pred_nets(rng, pred_net, extra):
 
     g = jax.grad(loss)(params)
     assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(g))
+
+
+def test_lstm_mem_init(rng):
+    """lstm mem_init: final LSTM hidden per window vs explicitly sliced
+    windows through the same cell params."""
+    import flax.linen as fnn
+    from dualmessagepassing_tpu.models.pred_attn import WindowLSTMMem
+
+    B, L, D, M, F = 2, 10, 4, 3, 6
+    x = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    mask = np.ones((B, L), bool)
+    mask[1, 7:] = False
+    mod = WindowLSTMMem(F, M)
+    variables = mod.init(jax.random.PRNGKey(0), x, jnp.asarray(mask))
+    mem, mem_mask = mod.apply(variables, x, jnp.asarray(mask))
+    assert mem.shape == (B, M, F)
+    assert np.asarray(mem_mask).all()
+
+    # oracle: same cell params applied to each hand-sliced window
+    cell_params = variables["params"]["cell"]
+    cell = fnn.OptimizedLSTMCell(F)
+    for b, l in ((0, 10), (1, 7)):
+        wins = oracle_windows(l, M)
+        for k, win in enumerate(wins):
+            carry = cell.initialize_carry(jax.random.PRNGKey(0), (D,))
+            for j in win:
+                carry, _ = cell.apply({"params": cell_params}, carry,
+                                      np.asarray(x)[b, j])
+            want = np.asarray(carry[1])
+            np.testing.assert_allclose(np.asarray(mem)[b, k], want,
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"b{b} k{k}")
+
+
+def test_model_with_lstm_mem(rng):
+    from dualmessagepassing_tpu import build_model
+
+    pattern, graph = make_pair_batch(rng)
+    for pred_net, init in [("SumMemAttnPredictNet", "lstm"),
+                           ("DIAMNet", "circular_lstm")]:
+        cfg = small_config(pred_net=pred_net, pred_mem_len=3,
+                           pred_mem_init=init)
+        model = build_model(cfg)
+        params = model.init(jax.random.PRNGKey(0), pattern, graph)
+        out = model.apply(params, pattern, graph)
+        assert np.all(np.isfinite(np.asarray(out["pred_c"])))
