@@ -105,6 +105,7 @@ def add_data_config(parser):
     g.add_argument("--max_ngel", type=int, default=16)
     g.add_argument("--add_rev", type=str2bool, default=True)
     g.add_argument("--convert_dual", type=str2bool, default=False)
+    g.add_argument("--remove_loops", type=str2bool, default=False)
 
 
 def add_train_config(parser):

@@ -134,7 +134,10 @@ def main(argv=None):
 
     datasets = build_datasets(config, logger)
 
-    # reversed edges + eigenvalue bounds (train.py:1150-1186)
+    # loop removal / reversed edges / eigenvalue bounds (train.py:1111-1186)
+    if config.get("remove_loops"):
+        for ds in datasets.values():
+            ds.dataset.remove_loops()
     if config["add_rev"]:
         for ds in datasets.values():
             ds.dataset.add_reversed_edges(config["max_npel"],

@@ -44,6 +44,27 @@ class GraphAdjDataset:
         return self
 
     # ---- transforms ---------------------------------------------------------
+    def remove_loops(self):
+        """Drop self-loop edges from every pattern/graph (the reference's
+        'withoutloop' dataset variant, train.py:252-270). Re-packs edges so
+        real entries stay contiguous; subiso-derived weights are reset (they
+        are recomputed lazily from the stored subisomorphisms)."""
+        for x in self.data:
+            for key in ("pattern", "graph"):
+                rec = x[key]
+                em = rec["edge_mask"].astype(bool)
+                keep = em & (rec["senders"] != rec["receivers"])
+                if keep.sum() == em.sum():
+                    continue
+                order = np.argsort(~keep, kind="stable")
+                for k in ("senders", "receivers", "edge_label", "rev_flag"):
+                    rec[k] = rec[k][order]
+                n_keep = int(keep.sum())
+                rec["edge_mask"] = np.arange(len(em)) < n_keep
+                rec["n_edge"] = np.int32(n_keep)
+            x["edge_weights"] = None
+        return self
+
     def add_reversed_edges(self, num_p_elabels: int, num_g_elabels: int):
         """train.py:273-327: reversed edges on both pattern and graph; edge
         weights of the reversed half are never used (masked by rev_flag in

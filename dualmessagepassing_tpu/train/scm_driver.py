@@ -217,6 +217,7 @@ def evaluate_epoch(
             return w
         return fn(w[..., None])[..., 0]
     preds, golds = [], []
+    all_ids = []
     neds, eeds = [], []
     t_total = 0.0
     n_items = 0
@@ -229,6 +230,7 @@ def evaluate_epoch(
         pred_c.block_until_ready()
         t_total += time.perf_counter() - t0
         n_items += counts.shape[0]
+        all_ids.extend(ids)
         preds.append(np.asarray(pred_c)[:, 0])
         golds.append(np.asarray(counts)[:, 0])
         if pred_v is not None and nw is not None:
@@ -265,4 +267,15 @@ def evaluate_epoch(
         results["AUC"] = float("nan")
     results["MNED"] = float(np.concatenate(neds).mean()) if neds else float("nan")
     results["MEED"] = float(np.concatenate(eeds).mean()) if eeds else float("nan")
+    # per-sample dumps (reference results JSONs carry raw predictions and
+    # errors, train.py:853-881)
+    results["ids"] = all_ids
+    results["predictions"] = pred_relu.tolist()
+    results["counts"] = gold.tolist()
+    results["AE"] = ae.tolist()
+    results["SE"] = se.tolist()
+    if neds:
+        results["NED"] = np.concatenate(neds).tolist()
+    if eeds:
+        results["EED"] = np.concatenate(eeds).tolist()
     return results

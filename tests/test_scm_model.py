@@ -127,3 +127,19 @@ def test_equivariant_embedding_is_circulant():
     w = np.asarray(params["params"]["weight"])
     for i in range(6):
         np.testing.assert_allclose(w[i], np.roll(w[0], i), rtol=1e-6)
+
+
+def test_remove_loops(rng):
+    from dualmessagepassing_tpu.data.dataset import GraphAdjDataset
+    from dualmessagepassing_tpu.data.synthetic import generate_pair
+
+    x = generate_pair(rng, pv=3, pe=3, gv=6, ge=10)
+    # force some self loops into the graph record
+    rec = x["graph"]
+    rec["receivers"][:2] = rec["senders"][:2]
+    ds = GraphAdjDataset([x])
+    ds.remove_loops()
+    rec = ds.data[0]["graph"]
+    em = rec["edge_mask"]
+    assert (rec["senders"][em] != rec["receivers"][em]).all()
+    assert int(rec["n_edge"]) == 8
