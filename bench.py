@@ -36,10 +36,16 @@ def main():
     #   bsz 2048 -> 1.44B edges/s
     #   bsz 4096 -> 2.78B edges/s      <- default
     #   bsz 8192 -> 3.36B edges/s      (approaching compute-bound)
+    # scatter backends at bsz 4096: one-hot einsum 2.78B vs XLA
+    # scatter-add 1.67B — the MXU path wins on the SCM envelope even at
+    # scale (BENCH_SCATTER=segment to re-measure)
     bsz = int(os.environ.get("BENCH_BSZ", "4096"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
 
     cfg = _flagship_config()
+    sm = os.environ.get("BENCH_SCATTER")
+    if sm:
+        cfg = cfg.replace(scatter_method=sm)
     model = build_model(cfg)
     pattern, graph = _make_batch(bsz, 8, 8, 64, 256, 16, 16)
 

@@ -117,6 +117,9 @@ class ModelConfig:
     pred_num_heads: int = 4
     pred_mem_len: int = 4
     pred_mem_init: str = "mean"
+    # scatter backend: None = auto (one-hot einsum for small V), "onehot",
+    # "segment" (XLA scatter-add)
+    scatter_method: str = None
 
     # ---- derived dims (basemodel.py:1345-1392) ------------------------------
     def enc_dims(self, which: str) -> Dict[str, int]:

@@ -29,6 +29,7 @@ class DMPNN(GraphAdjModelV2):
             act=cfg.rep_act_func,
             dropout=cfg.rep_dropout,
             residual=cfg.rep_residual,
+            scatter_method=cfg.scatter_method,
         )
 
 

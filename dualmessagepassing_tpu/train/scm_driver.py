@@ -154,17 +154,26 @@ def train_epoch(
     )
     return_weights = config.get("pred_return_weights", "none")
 
-    totals = {"total": 0.0, "count_loss": 0.0, "match_v_loss": 0.0,
-              "match_e_loss": 0.0, "rep_reg": 0.0}
+    keys = ("total", "count_loss", "match_v_loss", "match_e_loss",
+            "rep_reg")
+    # device-side loss accumulation: reading a loss back every step would
+    # force a sync and serialize host collate with device compute; keep
+    # per-step losses on device and read once at epoch end
+    pending = []
+    bszs = []
     n = 0
-    from ..utils.profiling import Throughput
-    tp = Throughput()
+    total_edges = 0
+    try:
+        host_sizes = dataset.sizes()
+    except AttributeError:
+        host_sizes = None
+    import time as _time
+    t_epoch = _time.perf_counter()
     for batch_id, idx in enumerate(sampler):
         ids, pattern, graph, counts, (nw, ew) = dataset.batchify(
             idx, return_weights)
         step = epoch * epoch_steps + batch_id
         rng_key, drop_key = jax.random.split(rng_key)
-        tp.start()
         # placeholder weight targets (EdgeSeqBatch has one mask for both)
         v_mask = getattr(graph, "node_mask", None)
         if v_mask is None:
@@ -181,19 +190,26 @@ def train_epoch(
             jnp.float32(lr_s(step)), drop_key,
         )
         bsz = counts.shape[0]
-        # count real (unpadded) edges across both graphs of the pair batch
-        edges = int(jnp.sum(getattr(graph, "n_edge", getattr(graph, "n_tuple", 0)))
-                    + jnp.sum(getattr(pattern, "n_edge",
-                                      getattr(pattern, "n_tuple", 0))))
-        tp.stop(edges)
+        # count real edges host-side (a device read here would serialize
+        # host collate with device compute)
+        if host_sizes is not None:
+            total_edges += sum(host_sizes[i]["g_len"] + host_sizes[i]["p_len"]
+                               for i in idx)
         n += bsz
-        for k in totals:
-            totals[k] += float(losses[k]) * bsz
-        if log_fn and batch_id % config.get("log_every", 100) == 0:
+        pending.append({k: losses[k] for k in keys})
+        bszs.append(bsz)
+        if log_fn and batch_id % config.get("log_every", 100) == 0 \
+                and batch_id > 0:
             log_fn(f"epoch {epoch} step {batch_id}/{epoch_steps} "
-                   f"loss {float(losses['total']):.6f}")
+                   f"loss {float(pending[-1]['total']):.6f}")
+    jax.block_until_ready(state.params)
+    dt = _time.perf_counter() - t_epoch
+    totals = {k: 0.0 for k in keys}
+    for losses, bsz in zip(pending, bszs):
+        for k in keys:
+            totals[k] += float(losses[k]) * bsz
     out = {k: v / max(n, 1) for k, v in totals.items()}
-    out["edges_per_sec"] = tp.edges_per_sec
+    out["edges_per_sec"] = total_edges / dt if dt > 0 else 0.0
     return state, out
 
 
