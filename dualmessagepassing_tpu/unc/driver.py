@@ -323,18 +323,21 @@ def train_unc(
     step = make_unc_train_step(model, tx)
 
     prev_loss = float("inf")
+    k_step = 0
     for epoch in range(n_epochs):
-        losses = []
+        pending = []
         for edges in batches(train_edges, graph_batch_size, shuffle=True):
             sub = sample_batch(graph, edges, sampler, sample_depth,
                                sample_width, graph_split_size, negative_rate,
                                v_max, e_max, s_max, rng)
             sub = {k: jnp.asarray(v) for k, v in sub.items()}
-            step_key = jax.random.fold_in(jax.random.PRNGKey(seed), len(losses))
+            step_key = jax.random.fold_in(jax.random.PRNGKey(seed), k_step)
+            k_step += 1
             params, opt_state, batch_stats, loss = step(
                 params, opt_state, batch_stats, sub, step_key)
-            losses.append(float(loss))
-        loss = sum(losses) / max(len(losses), 1)
+            # keep losses on device so host sampling overlaps device compute
+            pending.append(loss)
+        loss = sum(float(l) for l in pending) / max(len(pending), 1)
         log(f"Epoch {epoch:05d} | Loss {loss:.4f}")
         if loss > prev_loss:
             break
