@@ -10,7 +10,7 @@ cosine-annealing LR (eta_min 3e-6), clip 1.0 (main.py:110-113,166).
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -22,14 +22,13 @@ Reference quirks preserved:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 from ..constants import LEAKY_RELU_A
-from ..ops.encoding import get_enc_len, multihot_table
 from ..utils.init import scaled, xavier_uniform
 from ..models.layers import MaskedBatchNorm
 

@@ -21,7 +21,6 @@ Model format:
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 
 def seed_node_generate(data_dir: str, out_dir: str):
