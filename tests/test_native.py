@@ -29,7 +29,8 @@ def rand_case(rng, pv=3, pe=4, gv=8, ge=20, nl=2, el=2):
 def test_enumeration_matches_python(rng):
     for _ in range(10):
         ps, pr, pel, pvl, gs, gr, gel, gvl = rand_case(rng)
-        want = enumerate_subisomorphisms(ps, pr, pvl, pel, gs, gr, gvl, gel)
+        want = enumerate_subisomorphisms(ps, pr, pvl, pel, gs, gr, gvl, gel,
+                                         use_native=False)
         got = native.enumerate_subiso_native(ps, pr, pel, pvl,
                                              gs, gr, gel, gvl)
         assert got.shape == want.shape
@@ -96,7 +97,8 @@ def test_native_speedup(rng):
     ps, pr, pel, pvl, gs, gr, gel, gvl = rand_case(
         rng, pv=4, pe=5, gv=24, ge=140, nl=1, el=1)
     t0 = time.perf_counter()
-    want = enumerate_subisomorphisms(ps, pr, pvl, pel, gs, gr, gvl, gel)
+    want = enumerate_subisomorphisms(ps, pr, pvl, pel, gs, gr, gvl, gel,
+                                     use_native=False)
     t_py = time.perf_counter() - t0
     t0 = time.perf_counter()
     got = native.enumerate_subiso_native(ps, pr, pel, pvl, gs, gr, gel, gvl)
