@@ -106,6 +106,9 @@ def add_data_config(parser):
     g.add_argument("--add_rev", type=str2bool, default=True)
     g.add_argument("--convert_dual", type=str2bool, default=False)
     g.add_argument("--remove_loops", type=str2bool, default=False)
+    g.add_argument("--auto_envelope", type=str2bool, default=False,
+                   help="shrink batch padding to power-of-two envelopes "
+                        "(pairs with bucket batching)")
 
 
 def add_train_config(parser):

@@ -41,8 +41,11 @@ def build_datasets(config, logger):
         }
         from ..data.dataset import CollateView, collate_kind_for
         kind = collate_kind_for(config["rep_net"])
-        datasets = {k: CollateView(v, kind, config.get("lrp_seq_len", 4))
-                    for k, v in datasets.items()}
+        datasets = {
+            k: CollateView(v, kind, config.get("lrp_seq_len", 4),
+                           auto_envelope=config.get("auto_envelope", False))
+            for k, v in datasets.items()
+        }
         for k, v in datasets.items():
             logger.info("%8d %s data loaded (cache)" % (len(v), k))
         return datasets
@@ -96,8 +99,11 @@ def build_datasets(config, logger):
         logger.info(f"datasets cached to {cache_dir}")
     from ..data.dataset import CollateView, collate_kind_for
     kind = collate_kind_for(config["rep_net"])
-    datasets = {k: CollateView(v, kind, config.get("lrp_seq_len", 4))
-                for k, v in datasets.items()}
+    datasets = {
+        k: CollateView(v, kind, config.get("lrp_seq_len", 4),
+                       auto_envelope=config.get("auto_envelope", False))
+        for k, v in datasets.items()
+    }
     for k, v in datasets.items():
         logger.info("%8d %s data loaded" % (len(v), k))
     return datasets

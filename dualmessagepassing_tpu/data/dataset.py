@@ -104,25 +104,37 @@ class GraphAdjDataset:
         ]
 
     # ---- collate ------------------------------------------------------------
-    def batchify(self, indices: Sequence[int], return_weights: str = "none"):
+    def batchify(self, indices: Sequence[int], return_weights: str = "none",
+                 auto_envelope: bool = False):
         """-> (ids, pattern GraphBatch, graph GraphBatch, counts [B,1] f32,
-        (node_weights [B,V] f32 | None, edge_weights [B,E] f32 | None))."""
+        (node_weights [B,V] f32 | None, edge_weights [B,E] f32 | None)).
+
+        auto_envelope shrinks each batch's padded envelope to the smallest
+        power-of-two ladder step covering the batch maxima — with the
+        bucket samplers grouping similar sizes this cuts padding waste to
+        a handful of compiled shapes (SURVEY §7.1 bucketing design).
+        """
         batch = [self.data[i] for i in indices]
         ids = [x["id"] for x in batch]
-        pattern = G.batch_graphs([x["pattern"] for x in batch])
-        graph = G.batch_graphs([x["graph"] for x in batch])
+        p_recs = [x["pattern"] for x in batch]
+        g_recs = [x["graph"] for x in batch]
+        if auto_envelope:
+            p_recs = [_sliced(r, *_ladder_envelope(p_recs)) for r in p_recs]
+            g_recs = [_sliced(r, *_ladder_envelope(g_recs)) for r in g_recs]
+        pattern = G.batch_graphs(p_recs)
+        graph = G.batch_graphs(g_recs)
         counts = np.asarray([x["counts"] for x in batch], np.float32)[:, None]
 
         node_w = edge_w = None
         if "node" in return_weights:
             node_w = np.stack([
-                _padded(self._node_weights(x), x["graph"]["node_mask"].shape[0])
-                for x in batch
+                _padded(self._node_weights(x), rec["node_mask"].shape[0])
+                for x, rec in zip(batch, g_recs)
             ])
         if "edge" in return_weights:
             edge_w = np.stack([
-                _padded(self._edge_weights(x), x["graph"]["edge_mask"].shape[0])
-                for x in batch
+                _padded(self._edge_weights(x), rec["edge_mask"].shape[0])
+                for x, rec in zip(batch, g_recs)
             ])
         import jax.numpy as jnp
         counts = jnp.asarray(counts)
@@ -226,8 +238,40 @@ class GraphAdjDataset:
 
 def _padded(w: np.ndarray, n: int) -> np.ndarray:
     out = np.zeros((n,), np.float32)
+    w = w[:n]
     out[: len(w)] = w
     return out
+
+
+def _next_pow2(x: int, floor: int = 4) -> int:
+    n = floor
+    while n < x:
+        n *= 2
+    return n
+
+
+def _ladder_envelope(recs) -> tuple:
+    v = max(int(r["n_node"]) for r in recs)
+    e = max(int(r["n_edge"]) for r in recs)
+    cap_v = recs[0]["node_mask"].shape[0]
+    cap_e = recs[0]["edge_mask"].shape[0]
+    return min(_next_pow2(v), cap_v), min(_next_pow2(e), cap_e)
+
+
+def _sliced(rec, v_env: int, e_env: int):
+    """View of a post-padded record at a smaller envelope (prefix slices)."""
+    return {
+        "senders": rec["senders"][:e_env],
+        "receivers": rec["receivers"][:e_env],
+        "node_id": rec["node_id"][:v_env],
+        "node_label": rec["node_label"][:v_env],
+        "edge_label": rec["edge_label"][:e_env],
+        "node_mask": rec["node_mask"][:v_env],
+        "edge_mask": rec["edge_mask"][:e_env],
+        "rev_flag": rec["rev_flag"][:e_env],
+        "n_node": rec["n_node"],
+        "n_edge": rec["n_edge"],
+    }
 
 
 class CollateView:
@@ -236,10 +280,11 @@ class CollateView:
     Lets the epoch drivers stay collate-agnostic."""
 
     def __init__(self, dataset: GraphAdjDataset, kind: str = "graph",
-                 lrp_seq_len: int = 4):
+                 lrp_seq_len: int = 4, auto_envelope: bool = False):
         self.dataset = dataset
         self.kind = kind
         self.lrp_seq_len = lrp_seq_len
+        self.auto_envelope = auto_envelope
 
     def __len__(self):
         return len(self.dataset)
@@ -249,7 +294,8 @@ class CollateView:
 
     def batchify(self, indices, return_weights="none"):
         if self.kind == "graph":
-            return self.dataset.batchify(indices, return_weights)
+            return self.dataset.batchify(indices, return_weights,
+                                         auto_envelope=self.auto_envelope)
         if self.kind == "edgeseq":
             return self.dataset.batchify_edgeseq(indices, return_weights)
         if self.kind == "lrp":

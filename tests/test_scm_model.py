@@ -143,3 +143,40 @@ def test_remove_loops(rng):
     em = rec["edge_mask"]
     assert (rec["senders"][em] != rec["receivers"][em]).all()
     assert int(rec["n_edge"]) == 8
+
+
+def test_auto_envelope_batchify(rng):
+    """Ladder-sliced batches must produce identical model outputs on real
+    entries, at a smaller compiled shape."""
+    from dualmessagepassing_tpu.data.dataset import GraphAdjDataset
+    from dualmessagepassing_tpu.data.synthetic import generate_dataset
+
+    # records padded to a generous envelope; true sizes much smaller
+    data = generate_dataset(8, seed=4, pv=3, pe=3, gv=6, ge=10,
+                            num_vlabels=2, num_elabels=2,
+                            p_v_max=16, p_e_max=32, g_v_max=64, g_e_max=128)
+    ds = GraphAdjDataset(data)
+    _, p_full, g_full, c, (nw_f, ew_f) = ds.batchify(range(8), "node,edge")
+    _, p_auto, g_auto, c2, (nw_a, ew_a) = ds.batchify(
+        range(8), "node,edge", auto_envelope=True)
+    assert g_auto.max_nodes == 8      # next pow2 >= 6
+    assert g_auto.max_edges == 16     # next pow2 >= 10
+    assert g_full.max_nodes == 64
+
+    from dualmessagepassing_tpu import ModelConfig, build_model
+    cfg = ModelConfig(max_ngv=64, max_ngvl=2, max_nge=128, max_ngel=2,
+                      max_npv=16, max_npvl=2, max_npe=32, max_npel=2,
+                      hid_dim=8, rep_num_pattern_layers=2,
+                      rep_num_graph_layers=2, pred_hid_dim=8,
+                      filter_net="ScalarFilter",
+                      pred_return_weights="nodeedge")
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), p_full, g_full)
+    out_full = model.apply(params, p_full, g_full)
+    out_auto = model.apply(params, p_auto, g_auto)
+    np.testing.assert_allclose(np.asarray(out_full["pred_c"]),
+                               np.asarray(out_auto["pred_c"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_full["pred_v"])[:, :8],
+                               np.asarray(out_auto["pred_v"]),
+                               rtol=1e-4, atol=1e-5)
