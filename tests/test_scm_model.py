@@ -180,3 +180,13 @@ def test_auto_envelope_batchify(rng):
     np.testing.assert_allclose(np.asarray(out_full["pred_v"])[:, :8],
                                np.asarray(out_auto["pred_v"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_position_encoding_model(rng):
+    """enc_net=Position end to end (basemodel.py:983-988)."""
+    pattern, graph = make_pair_batch(rng)
+    cfg = small_config(enc_net="Position", emb_net="Normal")
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), pattern, graph)
+    out = model.apply(params, pattern, graph)
+    assert np.all(np.isfinite(np.asarray(out["pred_c"])))

@@ -220,3 +220,19 @@ def test_dualgraphconv_matches_oracle(rng):
 
     np.testing.assert_allclose(np.asarray(n_out), want_n, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(e_out), want_e, rtol=1e-4, atol=1e-4)
+
+
+def test_unc_attributed(rng):
+    """Frozen node attributes as inputs (EmbeddingLayerAttri path)."""
+    from dualmessagepassing_tpu.unc.driver import train_unc
+
+    t = make_triplets(rng, n=20, e=80, r=2)
+    attrs = rng.normal(size=(20, 12)).astype(np.float32)
+    embs, cov = train_unc(
+        t, 20, 2, h_dim=8, n_layers=1, lr=1e-2, reg_param=0.01,
+        negative_rate=2, graph_batch_size=40, graph_split_size=0.9,
+        sampler="neighbor", sample_depth=2, sample_width=5,
+        n_epochs=2, v_max=20, e_max=100, seed=0, node_attri=attrs,
+        log=lambda s: None)
+    assert embs.shape[0] == 20
+    assert np.isfinite(embs).all()
