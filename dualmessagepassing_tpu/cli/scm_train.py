@@ -201,11 +201,12 @@ def main(argv=None):
     if warmup < 0:
         warmup = max(1, int(0.2 * config["train_epochs"]))
 
-    best_dev = float("inf")
+    metric = config["eval_metric"]
+    higher_better = metric == "AUC"
+    best_dev = -float("inf") if higher_better else float("inf")
     best_train_loss = float("inf")
     stale_loss = stale_metric = 0
     rng = jax.random.PRNGKey(config["seed"])
-    metric = config["eval_metric"]
     import numpy as _np
     for epoch in range(config["train_epochs"]):
         used_ratio = min(1.0, 0.5 + 0.5 * epoch / max(warmup, 1))
@@ -263,7 +264,9 @@ def main(argv=None):
                         writer.add_scalar(f"{split}/{k}", v, epoch)
 
         dev_metric = results["dev"].get(metric, float("nan"))
-        if dev_metric < best_dev:
+        improved = (dev_metric > best_dev if higher_better
+                    else dev_metric < best_dev)
+        if improved:
             best_dev = dev_metric
             stale_metric = 0
             save_state(os.path.join(save_dir, f"epoch{epoch}"), state)
