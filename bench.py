@@ -39,11 +39,11 @@ def main():
     # scatter backends at bsz 4096: one-hot einsum 2.78B vs XLA
     # scatter-add 1.67B — the MXU path wins on the SCM envelope even at
     # scale (BENCH_SCATTER=segment to re-measure)
-    # matmul precision at bsz 4096: default 2.78B vs forced single-pass
-    # bfloat16 1.65B — the step is not MXU-throughput-bound; forcing
-    # precision breaks fusions (BENCH_PRECISION to re-measure)
+    # matmul precision at bsz 4096: forcing single-pass bfloat16 measured
+    # no better than default (BENCH_PRECISION to re-measure); short runs
+    # (ITERS<20) carry ~±30% relay/warmup noise — hence the default below
     bsz = int(os.environ.get("BENCH_BSZ", "4096"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
 
     prec = os.environ.get("BENCH_PRECISION")
     if prec:
