@@ -142,26 +142,11 @@ class UNCDMPNN(nn.Module):
     num_hidden_layers: int = 1
     dropout: float = 0.0
     node_attri: Optional[Any] = None  # frozen [N, A] attributes
+    multihot_input: bool = False
 
     @nn.compact
     def __call__(self, sub, train: bool = False):
-        if self.node_attri is not None:
-            table = jnp.asarray(self.node_attri)
-            h = table[sub["nid"]]
-        else:
-            scale = 1.0 / jnp.sqrt(jnp.asarray(float(self.h_dim)))
-            emb = self.param(
-                "node_emb",
-                lambda k, s: jax.random.uniform(
-                    k, s, jnp.float32, -1, 1) / jnp.sqrt(float(self.h_dim)),
-                (self.num_nodes, self.h_dim))
-            h = emb[sub["nid"]]
-        rel_emb = self.param(
-            "rel_emb",
-            lambda k, s: jax.random.uniform(
-                k, s, jnp.float32, -1, 1) / jnp.sqrt(float(self.h_dim)),
-            (self.num_rels, self.h_dim))
-        z = rel_emb[sub["edge_type"]]
+        h, z = _input_embeddings(self, sub, rel_stream=True)
 
         norm = sub.get("edge_norm")
         for i in range(self.num_hidden_layers):
@@ -321,6 +306,7 @@ class UNCCompGCN(nn.Module):
     num_hidden_layers: int = 1
     dropout: float = 0.0
     node_attri: Optional[Any] = None
+    multihot_input: bool = False
 
     @nn.compact
     def __call__(self, sub, train: bool = False):
@@ -347,6 +333,7 @@ class UNCRGNN(nn.Module):
     num_hidden_layers: int = 1
     dropout: float = 0.0
     node_attri: Optional[Any] = None
+    multihot_input: bool = False
 
     @nn.compact
     def __call__(self, sub, train: bool = False):
@@ -365,9 +352,23 @@ class UNCRGNN(nn.Module):
 
 
 def _input_embeddings(mdl, sub, rel_stream: bool):
-    """Shared input layer (EmbeddingLayer / EmbeddingLayerAttri)."""
+    """Shared input layer: EmbeddingLayer (learned uniform 1/sqrt(d)),
+    EmbeddingLayerAttri (frozen attributes), or MultiHotEmbeddingLayer
+    (frozen multihot encoding x learned projection, scale
+    1/sqrt(d * enc_len) — Model/DMPNN/src/model.py:12-64)."""
     if mdl.node_attri is not None:
         h = jnp.asarray(mdl.node_attri)[sub["nid"]]
+    elif getattr(mdl, "multihot_input", False):
+        from ..ops.encoding import get_enc_len, multihot_table
+
+        enc_len = get_enc_len(mdl.num_nodes - 1, 2)
+        table = jnp.asarray(multihot_table(mdl.num_nodes, 2))
+        scale = 1.0 / jnp.sqrt(jnp.asarray(float(mdl.h_dim * enc_len)))
+        proj = mdl.param(
+            "node_emb_proj",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -1, 1) * scale,
+            (enc_len * 2, mdl.h_dim))
+        h = table[sub["nid"]] @ proj
     else:
         emb = mdl.param(
             "node_emb",
@@ -400,6 +401,7 @@ class UNCTrainModel(nn.Module):
     node_attri: Optional[Any] = None
     backbone: str = "DMPNN"
     multi: bool = False
+    multihot_input: bool = False
 
     def setup(self):
         i_dim = (self.h_dim if self.node_attri is None
@@ -407,7 +409,8 @@ class UNCTrainModel(nn.Module):
         kw = dict(num_nodes=self.num_nodes, num_rels=self.num_rels * 2,
                   h_dim=i_dim, out_dim=self.h_dim,
                   num_hidden_layers=self.num_hidden_layers,
-                  dropout=self.dropout, node_attri=self.node_attri)
+                  dropout=self.dropout, node_attri=self.node_attri,
+                  multihot_input=self.multihot_input)
         if self.backbone == "DMPNN":
             self.model = UNCDMPNN(**kw)
         elif self.backbone == "CompGCN":

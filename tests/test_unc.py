@@ -236,3 +236,39 @@ def test_unc_attributed(rng):
         log=lambda s: None)
     assert embs.shape[0] == 20
     assert np.isfinite(embs).all()
+
+
+def test_unc_multihot_input(rng):
+    """MultiHotEmbeddingLayer input path (model.py:12-37)."""
+    from dualmessagepassing_tpu.unc.driver import train_unc
+
+    t = make_triplets(rng, n=20, e=60, r=2)
+    # train_unc lacks the knob; exercise via model directly
+    from dualmessagepassing_tpu.unc.data import (WholeGraph, compute_edgenorm,
+        convert_subgraph_nids, negative_sampling, pad_subgraph,
+        sample_subgraph_by_neighbors)
+    from dualmessagepassing_tpu.unc.model import (UNCTrainModel,
+        init_unc_variables)
+
+    g = WholeGraph(20, 2, t)
+    edges = t[:16]
+    neg = negative_sampling(edges, 20, 2, rng)
+    seeds = np.unique(np.concatenate(
+        [edges[:, 0], edges[:, 2], neg[:, 0], neg[:, 2]]))
+    sub = sample_subgraph_by_neighbors(g, seeds, 2, 5, rng)
+    samples = np.concatenate([edges, neg]).copy()
+    samples[:, 0] = convert_subgraph_nids(samples[:, 0], sub["nid"])
+    samples[:, 2] = convert_subgraph_nids(samples[:, 2], sub["nid"])
+    labels = np.zeros(len(samples), np.float32); labels[:16] = 1.0
+    padded = pad_subgraph(sub, samples, labels, 20, 100, 64,
+                          edge_norm=compute_edgenorm(sub))
+    sub_dev = {k: jnp.asarray(v) for k, v in padded.items()}
+    model = UNCTrainModel(num_nodes=20, num_rels=2, h_dim=8, nlabel=0,
+                          num_hidden_layers=1, reg_param=0.01,
+                          multihot_input=True)
+    variables = init_unc_variables(model, jax.random.PRNGKey(0), sub_dev)
+    assert "node_emb_proj" in variables["params"]["model"]
+    assert "node_emb" not in variables["params"]["model"]
+    (out, _), _ = model.apply(variables, sub_dev, train=True,
+                              mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(out[0])).all()
