@@ -12,15 +12,37 @@ atomics.
 Cost: E/TILE_E matmuls of [V, TILE_E] x [TILE_E, H] — O(E*V*H) MXU FLOPs
 traded for the scatter's O(E*H) serialized HBM round trips.
 
-MEASURED (TPU v5e, 1 chip, f32, H=64):
-    V=64,  E=4k  : pallas 0.95x of XLA scatter
-    V=512, E=64k : pallas 0.28x of XLA scatter
-XLA's native scatter-add is strong on this generation and the O(E*V*H)
-FLOP trade does not pay — so this kernel is EXPERIMENTAL and NOT wired as a
-default path (ops/scatter.py keeps the one-hot-einsum + scatter heuristics).
-It is retained as the starting point for a sorted-CSR revision (contiguous
-per-row accumulation, O(E*H) with no serialization), the roadmap item from
-SURVEY §7.3.
+MEASURED (TPU v5e, 1 chip, f32, H=64; relative numbers within one run —
+absolute latencies vary up to 7x with tunnel/TPU contention):
+    pallas_segment_sum (full-V accumulator):
+        V=64,  E=4k  : 0.95x of XLA unsorted scatter
+        V=512, E=64k : 0.28x
+    pallas_csr_segment_sum (sorted-CSR, row-tiled, double-buffered DMA):
+        V=256, E=4k  : 0.90x of XLA unsorted scatter
+        V=2k,  E=262k: 0.84x
+        V=82k, E=497k: 0.93x
+    XLA scatter with indices_are_sorted=True on the same sorted stream:
+        V=82k, E=497k: 1.38x of XLA unsorted scatter (7.7ms vs 10.6ms)
+Conclusions: (1) XLA's scatter-add is strong on this generation; the
+one-hot-matmul FLOP trade does not pay at any size tried, even with
+aligned, double-buffered DMA streaming. (2) If the host sorts edges
+anyway, the winning move is NOT a custom kernel but XLA's sorted-scatter
+lowering — exposed as ``scatter_sum_flat(..., indices_sorted=True)`` in
+ops/scatter.py. Both kernels are therefore EXPERIMENTAL and NOT default
+paths (ops/scatter.py keeps the one-hot-einsum + scatter heuristics).
+
+Hard-won Mosaic lessons kept for future kernels:
+  * HBM->VMEM DMA slice starts must be provably tile-aligned. A dynamic
+    ``lo + c*tile_e`` start compiles but hits the slow unaligned copy
+    path (~6x whole-kernel regression); iterating absolute chunk indices
+    with ``pl.multiple_of(c*tile_e, tile_e)`` restores the fast path.
+    Out-of-range rows self-mask through the one-hot compare because the
+    stream is sorted.
+  * The last-dim of any DMA'd slice must be a multiple of 128 lanes:
+    pack H<128 messages + the receiver id (as float) into one 128-wide
+    buffer rather than issuing a second narrow DMA.
+  * f32 accuracy requires precision=HIGHEST on the one-hot matmul
+    (default bf16 passes round the messages: 3e-2 max error).
 
 Falls back to jnp scatter on non-TPU backends.
 """
@@ -81,6 +103,126 @@ def pallas_segment_sum(messages: jnp.ndarray, receivers: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((num_nodes, h), jnp.float32),
     )(receivers.astype(jnp.int32)[:, None], messages)
+
+
+def _csr_kernel(row_ptr_ref, packed_hbm, out_ref, acc, s_pack, sem,
+                *, tile_v, tile_e, num_rows, h):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = pl.program_id(0)
+    lo = row_ptr_ref[t * tile_v]
+    hi = row_ptr_ref[jnp.minimum((t + 1) * tile_v, num_rows)]
+    acc[:] = jnp.zeros_like(acc)
+    # Absolute edge-chunk range covering [lo, hi): every DMA start is a
+    # static multiple of tile_e, so Mosaic takes the fast tile-aligned
+    # copy path (a dynamic `lo + c*tile_e` start forces the slow
+    # unaligned path — measured ~100x worse). Edges inside a chunk that
+    # belong to neighbouring row-tiles self-mask: receivers are sorted,
+    # so their local index falls outside [0, tile_v) in the one-hot.
+    c_lo = lo // tile_e
+    c_hi = (hi + tile_e - 1) // tile_e
+
+    # one 128-lane-aligned DMA per chunk: columns [0, h) are the
+    # messages, the last column carries the receiver id as float.
+    # Double-buffered: chunk c+1 streams in while chunk c computes.
+    def dma(c, slot):
+        start = pl.multiple_of(c * tile_e, tile_e)
+        return pltpu.make_async_copy(
+            packed_hbm.at[pl.ds(start, tile_e), :],
+            s_pack.at[slot], sem.at[slot])
+
+    @pl.when(hi > lo)
+    def _prologue():
+        dma(c_lo, jax.lax.rem(c_lo, 2)).start()
+
+    def body(c, carry):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < c_hi)
+        def _prefetch():
+            dma(c + 1, 1 - slot).start()
+
+        dma(c, slot).wait()
+        chunk = s_pack[slot]                              # [TILE_E, 128]
+        recv = chunk[:, chunk.shape[1] - 1].astype(jnp.int32)
+        local = recv[None, :] - t * tile_v                # [1, TILE_E]
+        onehot = (
+            local == jax.lax.broadcasted_iota(jnp.int32, (tile_v, 1), 0)
+        ).astype(jnp.float32)                             # [TILE_V, TILE_E]
+        acc[:] += jnp.dot(onehot, chunk[:, :h],
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        return carry
+
+    jax.lax.fori_loop(c_lo, c_hi, body, 0)
+    out_ref[:] = acc[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_nodes", "tile_v", "tile_e"))
+def pallas_csr_segment_sum(messages_sorted: jnp.ndarray,
+                           receivers_sorted: jnp.ndarray,
+                           row_ptr: jnp.ndarray,
+                           num_nodes: int,
+                           tile_v: int = 256,
+                           tile_e: int = 512) -> jnp.ndarray:
+    """Sorted-CSR segment-sum: the roadmap revision.
+
+    Edges must be pre-sorted by receiver (host-side, alongside CSR row_ptr
+    [V+1]); the kernel tiles output rows, streams each row-tile's edge
+    range from HBM in TILE_E chunks (double-buffered by the DMA engine),
+    and accumulates with a LOCAL one-hot matmul of width TILE_V — O(E*H)
+    memory traffic with MXU-shaped compute, no serialized scatter.
+
+    num_nodes must be a multiple of tile_v (pad row_ptr by repeating the
+    last value); messages must be padded by at least tile_e rows beyond the
+    last edge (garbage reads are masked).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    e_pad, h = messages_sorted.shape
+    assert h < 128, "pack width 128: supports H <= 127 (pad or split wider)"
+    assert num_nodes % tile_v == 0
+    grid = (num_nodes // tile_v,)
+    # pack messages + receiver-as-float into a 128-lane-aligned buffer
+    pack = jnp.zeros((e_pad, 128), jnp.float32)
+    pack = pack.at[:, :h].set(messages_sorted)
+    pack = pack.at[:, 127].set(receivers_sorted.astype(jnp.float32))
+    kernel = functools.partial(_csr_kernel, tile_v=tile_v, tile_e=tile_e,
+                               num_rows=num_nodes, h=h)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # packed (HBM)
+        ],
+        out_specs=pl.BlockSpec((tile_v, h), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile_v, h), jnp.float32),
+            pltpu.VMEM((2, tile_e, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_nodes, h), jnp.float32),
+    )(row_ptr.astype(jnp.int32), pack)
+
+
+def csr_sort_host(receivers, num_nodes, tile_e: int = 512):
+    """Host-side CSR preparation for pallas_csr_segment_sum:
+    (order, row_ptr padded to multiple-of-tile_v rows + 1)."""
+    import numpy as np
+
+    recv = np.asarray(receivers)
+    order = np.argsort(recv, kind="stable")
+    counts = np.bincount(recv, minlength=num_nodes)
+    row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return order, row_ptr
 
 
 def segment_sum_auto(messages: jnp.ndarray, receivers: jnp.ndarray,
