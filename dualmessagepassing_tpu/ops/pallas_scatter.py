@@ -25,11 +25,12 @@ absolute latencies vary up to 7x with tunnel/TPU contention):
         V=82k, E=497k: 1.38x of XLA unsorted scatter (7.7ms vs 10.6ms)
 Conclusions: (1) XLA's scatter-add is strong on this generation; the
 one-hot-matmul FLOP trade does not pay at any size tried, even with
-aligned, double-buffered DMA streaming. (2) If the host sorts edges
-anyway, the winning move is NOT a custom kernel but XLA's sorted-scatter
-lowering — exposed as ``scatter_sum_flat(..., indices_sorted=True)`` in
-ops/scatter.py. Both kernels are therefore EXPERIMENTAL and NOT default
-paths (ops/scatter.py keeps the one-hot-einsum + scatter heuristics).
+aligned, double-buffered DMA streaming. (2) The sorted-scatter hint only
+wins for the ISOLATED op — measured inside a full jitted train step it
+was ~100x SLOWER (unc/model.py notes), so it is exposed but off by
+default (``scatter_sum_flat(..., indices_sorted=True)``). Both kernels
+are EXPERIMENTAL and NOT default paths (ops/scatter.py keeps the
+one-hot-einsum + scatter heuristics).
 
 Hard-won Mosaic lessons kept for future kernels:
   * HBM->VMEM DMA slice starts must be provably tile-aligned. A dynamic

@@ -83,9 +83,12 @@ def scatter_sum_flat(
     """Flat-graph segment-sum: messages [E, H], receivers [E] -> [V, H].
 
     Pass ``indices_sorted=True`` when the caller guarantees receivers are
-    non-decreasing (e.g. host-side CSR sort): XLA's sorted-scatter lowering
-    is ~1.4x faster at large V (measured v5e, V=82k/E=497k: 7.7ms vs
-    10.6ms).
+    non-decreasing (e.g. host-side CSR sort). Measured v5e, V=82k/E=497k:
+    the ISOLATED op gets ~1.4x faster (7.7ms vs 10.6ms) — but inside a
+    full jitted train step the hint measured ~100x SLOWER (168ms vs
+    1.8ms, unc/model.py): it forces a scatter lowering that defeats the
+    fusion XLA picks for the unsorted op. Benchmark in context before
+    enabling.
     """
     msg = jnp.where(edge_mask[..., None], messages, 0)
     return (

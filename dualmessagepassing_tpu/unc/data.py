@@ -367,6 +367,13 @@ def pad_subgraph(sub: Dict[str, np.ndarray], samples: np.ndarray,
 
     samples are (src, rel, dst) with subgraph-local node ids.  Overflow of
     the envelope raises (choose envelopes from batch size * width bounds).
+
+    Edges are stably sorted by receiver (pad rows keep the last receiver id)
+    so every device-side aggregation can claim XLA's sorted-scatter lowering
+    (``indices_are_sorted=True``, ~1.4x over unsorted at V=82k) — enabled by
+    ``UNCTrainModel(sorted_edges=True)``. All per-edge arrays (senders,
+    receivers, edge_type, rev_flag, edge_norm) carry the same permutation;
+    samples/labels index nodes, not edge positions, so they are unaffected.
     """
     n_v = len(sub["nid"])
     n_e = len(sub["senders"])
@@ -376,6 +383,9 @@ def pad_subgraph(sub: Dict[str, np.ndarray], samples: np.ndarray,
             f"subgraph ({n_v}V, {n_e}E, {n_s}S) exceeds envelope "
             f"({v_max}, {e_max}, {s_max})")
 
+    order = np.argsort(sub["receivers"], kind="stable")
+    recv_fill = int(sub["receivers"][order[-1]]) if n_e else 0
+
     def pad1(x, n, dtype=np.int64, fill=0):
         out = np.full((n,), fill, dtype)
         out[: len(x)] = x
@@ -384,10 +394,10 @@ def pad_subgraph(sub: Dict[str, np.ndarray], samples: np.ndarray,
     out = {
         "nid": pad1(sub["nid"], v_max),
         "node_mask": np.arange(v_max) < n_v,
-        "senders": pad1(sub["senders"], e_max),
-        "receivers": pad1(sub["receivers"], e_max),
-        "edge_type": pad1(sub["edge_type"], e_max),
-        "rev_flag": pad1(sub["rev_flag"], e_max, bool, False),
+        "senders": pad1(sub["senders"][order], e_max),
+        "receivers": pad1(sub["receivers"][order], e_max, fill=recv_fill),
+        "edge_type": pad1(sub["edge_type"][order], e_max),
+        "rev_flag": pad1(sub["rev_flag"][order], e_max, bool, False),
         "edge_mask": np.arange(e_max) < n_e,
         "samples": np.concatenate(
             [samples, np.zeros((s_max - n_s, 3), np.int64)], axis=0),
@@ -396,5 +406,5 @@ def pad_subgraph(sub: Dict[str, np.ndarray], samples: np.ndarray,
     }
     if edge_norm is not None:
         out["edge_norm"] = np.concatenate(
-            [edge_norm, np.zeros((e_max - n_e, 1), np.float32)], axis=0)
+            [edge_norm[order], np.zeros((e_max - n_e, 1), np.float32)], axis=0)
     return out

@@ -72,6 +72,7 @@ class DualGraphConv(nn.Module):
     batch_norm: bool = True
     activation: Optional[str] = None  # None | "tanh"
     dropout: float = 0.0  # kept for config parity; see module docstring
+    sorted_edges: bool = False  # receivers non-decreasing (pad_subgraph sorts)
 
     @nn.compact
     def __call__(self, sub: Dict[str, jnp.ndarray], node_feat, edge_feat,
@@ -107,7 +108,8 @@ class DualGraphConv(nn.Module):
         if edge_norm is not None:
             node_msg = node_msg * edge_norm
         node_msg = jnp.where(e_mask[:, None], node_msg, 0.0)
-        agg = jnp.zeros((v, h), node_msg.dtype).at[receivers].add(node_msg)
+        agg = jnp.zeros((v, h), node_msg.dtype).at[receivers].add(
+            node_msg, indices_are_sorted=self.sorted_edges)
 
         n_out = node_feat @ w_nloop + agg
         if self.use_bias:
@@ -143,6 +145,7 @@ class UNCDMPNN(nn.Module):
     dropout: float = 0.0
     node_attri: Optional[Any] = None  # frozen [N, A] attributes
     multihot_input: bool = False
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, sub, train: bool = False):
@@ -153,7 +156,8 @@ class UNCDMPNN(nn.Module):
             act = "tanh" if i < self.num_hidden_layers - 1 else None
             h, z = DualGraphConv(
                 hidden_dim=self.out_dim, activation=act,
-                dropout=self.dropout, name=f"layer_{i}",
+                dropout=self.dropout, sorted_edges=self.sorted_edges,
+                name=f"layer_{i}",
             )(sub, h, z, edge_norm=norm, train=train)
 
         # per-relation mean of final edge outputs (model.py:319-325)
@@ -185,6 +189,7 @@ class CompGraphConv(nn.Module):
     batch_norm: bool = False
     activation: Optional[str] = None
     dropout: float = 0.0
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, sub, node_feat, edge_feat, edge_norm=None,
@@ -209,7 +214,8 @@ class CompGraphConv(nn.Module):
         if edge_norm is not None:
             msg = msg * edge_norm
         msg = jnp.where(sub["edge_mask"][:, None], msg, 0.0)
-        agg = jnp.zeros((v, h), msg.dtype).at[sub["receivers"]].add(msg)
+        agg = jnp.zeros((v, h), msg.dtype).at[sub["receivers"]].add(
+            msg, indices_are_sorted=self.sorted_edges)
 
         if self.self_loop:
             out = (agg + comp_func(node_feat, loop_rel, self.comp_opt)
@@ -228,7 +234,7 @@ class CompGraphConv(nn.Module):
         return out, edge_feat @ w_rel
 
 
-def _flat_relation_agg(sub, src_feat_e, weights):
+def _flat_relation_agg(sub, src_feat_e, weights, sorted_edges=False):
     """agg[v] = sum_e->v src_feat_e @ W[rel(e)] via a scan over relations
     (same MXU-friendly scheme as models/rgnn.py)."""
     v = sub["node_mask"].shape[0]
@@ -239,7 +245,8 @@ def _flat_relation_agg(sub, src_feat_e, weights):
         sel = jnp.logical_and(sub["edge_mask"], sub["edge_type"] == r)
         masked = jnp.where(sel[:, None], src_feat_e, 0.0)
         partial = jnp.zeros((v, src_feat_e.shape[-1]),
-                            src_feat_e.dtype).at[sub["receivers"]].add(masked)
+                            src_feat_e.dtype).at[sub["receivers"]].add(
+                                masked, indices_are_sorted=sorted_edges)
         return carry + partial @ wr, None
 
     init = jnp.zeros((v, weights.shape[2]), src_feat_e.dtype)
@@ -261,6 +268,7 @@ class RelGraphConvFlat(nn.Module):
     use_norm: bool = True
     iso_layer: bool = False   # RelGraphIso: extra Linear + act + dropout
     dropout: float = 0.0
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, sub, node_feat, edge_norm=None, train: bool = False):
@@ -270,7 +278,8 @@ class RelGraphConvFlat(nn.Module):
         src = node_feat[sub["senders"]]
         if self.use_norm and edge_norm is not None:
             src = src * edge_norm
-        out = _flat_relation_agg(sub, src, weights)
+        out = _flat_relation_agg(sub, src, weights,
+                                 sorted_edges=self.sorted_edges)
         if self.self_loop:
             out = out + node_feat @ self.param("loop_weight", _xavier(),
                                                (din, h))
@@ -307,6 +316,7 @@ class UNCCompGCN(nn.Module):
     dropout: float = 0.0
     node_attri: Optional[Any] = None
     multihot_input: bool = False
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, sub, train: bool = False):
@@ -316,7 +326,8 @@ class UNCCompGCN(nn.Module):
             act = "tanh" if i < self.num_hidden_layers - 1 else None
             h, z = CompGraphConv(
                 hidden_dim=self.out_dim, comp_opt="corr", activation=act,
-                dropout=self.dropout, name=f"layer_{i}",
+                dropout=self.dropout, sorted_edges=self.sorted_edges,
+                name=f"layer_{i}",
             )(sub, h, z, edge_norm=norm, train=train)
         return h, z
 
@@ -334,6 +345,7 @@ class UNCRGNN(nn.Module):
     dropout: float = 0.0
     node_attri: Optional[Any] = None
     multihot_input: bool = False
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, sub, train: bool = False):
@@ -346,6 +358,7 @@ class UNCRGNN(nn.Module):
                 activation=act, dropout=self.dropout,
                 use_norm=(self.kind == "rgcn"),
                 iso_layer=(self.kind == "rgin"),
+                sorted_edges=self.sorted_edges,
                 name=f"layer_{i}",
             )(sub, h, edge_norm=norm, train=train)
         return (h,)
@@ -402,6 +415,14 @@ class UNCTrainModel(nn.Module):
     backbone: str = "DMPNN"
     multi: bool = False
     multihot_input: bool = False
+    # pad_subgraph sorts edges by receiver, so aggregations COULD claim
+    # indices_are_sorted=True — but measured inside the full jitted train
+    # step the hint is ~100x SLOWER (168 ms vs 1.8 ms at V=65k/E=524k,
+    # v5e): it forces a worse scatter lowering than what XLA picks for the
+    # fused unsorted graph. The isolated-op 1.38x win (ops/scatter.py)
+    # does not transfer. Default stays False; the plumbing and the sorted
+    # layout are kept for future lowerings.
+    sorted_edges: bool = False
 
     def setup(self):
         i_dim = (self.h_dim if self.node_attri is None
@@ -410,7 +431,8 @@ class UNCTrainModel(nn.Module):
                   h_dim=i_dim, out_dim=self.h_dim,
                   num_hidden_layers=self.num_hidden_layers,
                   dropout=self.dropout, node_attri=self.node_attri,
-                  multihot_input=self.multihot_input)
+                  multihot_input=self.multihot_input,
+                  sorted_edges=self.sorted_edges)
         if self.backbone == "DMPNN":
             self.model = UNCDMPNN(**kw)
         elif self.backbone == "CompGCN":
@@ -511,7 +533,11 @@ class UNCTrainModel(nn.Module):
 def init_unc_variables(model: "UNCTrainModel", key, sub):
     """Initialize ALL parameters, including the loss-path-only edge_fc /
     w_relation / node_fc (linen creates lazily only what a traced method
-    touches)."""
+    touches).
+
+    The init itself is jitted: un-jitted flax init dispatches every op
+    eagerly, which on a remote-dispatch TPU costs ~1 ms per op (measured
+    54 s for a 2-layer DMPNN envelope vs ~2 s jitted)."""
 
     if model.nlabel == 0:
         def full(mdl, sub):
@@ -529,7 +555,7 @@ def init_unc_variables(model: "UNCTrainModel", key, sub):
                 jnp.zeros((1,), jnp.int32), jnp.zeros((1,), bool),
                 model.multi)
 
-    return model.init(key, sub, method=full)
+    return jax.jit(lambda k, s: model.init(k, s, method=full))(key, sub)
 
 
 def _masked_mean_sq(x, mask):

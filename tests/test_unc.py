@@ -272,3 +272,62 @@ def test_unc_multihot_input(rng):
     (out, _), _ = model.apply(variables, sub_dev, train=True,
                               mutable=["batch_stats"])
     assert np.isfinite(np.asarray(out[0])).all()
+
+
+@pytest.mark.parametrize("backbone", ["DMPNN", "CompGCN", "RGCN"])
+def test_sorted_edges_equivalence(rng, backbone):
+    """pad_subgraph sorts edges by receiver; the model with
+    sorted_edges=True on the sorted layout must match sorted_edges=False
+    on the ORIGINAL unsorted layout (permutation consistency of senders/
+    receivers/edge_type/rev_flag/edge_norm)."""
+    t = make_triplets(rng, n=20, e=60, r=3)
+    g = WholeGraph(20, 3, t)
+    edges = t[:16]
+    neg = negative_sampling(edges, 20, 2, rng)
+    seeds = np.unique(np.concatenate(
+        [edges[:, 0], edges[:, 2], neg[:, 0], neg[:, 2]]))
+    sub = sample_subgraph_by_randomwalks(g, seeds, 2, 5, rng)
+    samples = np.concatenate([edges, neg]).copy()
+    samples[:, 0] = convert_subgraph_nids(samples[:, 0], sub["nid"])
+    samples[:, 2] = convert_subgraph_nids(samples[:, 2], sub["nid"])
+    labels = np.zeros(len(samples), np.float32)
+    labels[:16] = 1.0
+    norm = compute_edgenorm(sub)
+    v_max, e_max, s_max = 24, 24 * 5, 64
+
+    padded = pad_subgraph(sub, samples, labels, v_max, e_max, s_max,
+                          edge_norm=norm)
+    recv = padded["receivers"]
+    assert (np.diff(recv) >= 0).all(), "receivers must be non-decreasing"
+
+    # hand-pad the UNSORTED layout (pre-sort behavior)
+    n_e = len(sub["senders"])
+    unsorted = dict(padded)
+    for k, src_key in [("senders", "senders"), ("receivers", "receivers"),
+                       ("edge_type", "edge_type"), ("rev_flag", "rev_flag")]:
+        arr = np.zeros(e_max, padded[k].dtype)
+        arr[:n_e] = sub[src_key]
+        unsorted[k] = arr
+    en = np.zeros((e_max, 1), np.float32)
+    en[:n_e] = norm
+    unsorted["edge_norm"] = en
+
+    def run(layout, flag):
+        model = UNCTrainModel(num_nodes=20, num_rels=3, h_dim=8, nlabel=0,
+                              num_hidden_layers=2, reg_param=0.01,
+                              backbone=backbone, sorted_edges=flag)
+        sub_dev = {k: jnp.asarray(v) for k, v in layout.items()}
+        variables = init_unc_variables(model, jax.random.PRNGKey(0), sub_dev)
+        (out, _), _ = model.apply(variables, sub_dev, train=False,
+                                  mutable=["batch_stats"])
+        loss = model.apply(variables, out, sub_dev["edge_type"],
+                           sub_dev["edge_mask"], sub_dev["samples"],
+                           sub_dev["labels"], sub_dev["sample_mask"],
+                           sub_dev["node_mask"],
+                           method=UNCTrainModel.unsupervised_loss)
+        return np.asarray(out[0]), float(loss)
+
+    h_sorted, loss_sorted = run(padded, True)
+    h_unsorted, loss_unsorted = run(unsorted, False)
+    np.testing.assert_allclose(h_sorted, h_unsorted, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(loss_sorted, loss_unsorted, rtol=1e-5)
