@@ -58,7 +58,7 @@ def main():
     counts = jnp.asarray(
         np.random.default_rng(0).poisson(4.0, size=(bsz, 1)).astype(np.float32)
     )
-    params = model.init(jax.random.PRNGKey(0), pattern, graph)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), pattern, graph)
     tx = optax.adamw(1e-3, weight_decay=1e-5)
     opt_state = tx.init(params)
 

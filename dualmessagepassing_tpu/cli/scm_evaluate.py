@@ -55,7 +55,8 @@ def main(argv=None):
 
     ids, pattern, graph, counts, _ = datasets["train"].batchify(
         range(min(2, len(datasets["train"]))), "none")
-    variables = model.init(jax.random.PRNGKey(config["seed"]), pattern, graph)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(config["seed"]), pattern, graph)
     tx = make_optimizer(config["lr"], config["weight_decay"],
                         config["max_grad_norm"])
     like = TrainState.create(variables, tx)

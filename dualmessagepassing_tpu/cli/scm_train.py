@@ -161,7 +161,9 @@ def main(argv=None):
 
     ids, pattern, graph, counts, _ = datasets["train"].batchify(
         range(min(2, len(datasets["train"]))), "none")
-    variables = model.init(jax.random.PRNGKey(config["seed"]), pattern, graph)
+    # jitted init: eager flax init costs ~1 ms/op on remote-dispatch TPUs
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(config["seed"]), pattern, graph)
     n_params = sum(x.size for x in jax.tree.leaves(variables))
     logger.info(f"model built: {n_params} parameters")
 
