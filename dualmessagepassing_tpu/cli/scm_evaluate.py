@@ -27,10 +27,23 @@ def main(argv=None):
 
     parser = argparse.ArgumentParser("scm-evaluate")
     parser.add_argument("--load_model_dir", type=str, required=True)
+    # optional overrides: evaluate the trained model on a DIFFERENT dataset
+    # (reference evaluate.py:44-77 takes the data dirs on its own command
+    # line; the transfer setting — train small, evaluate large — needs them)
+    parser.add_argument("--pattern_dir", type=str, default=None)
+    parser.add_argument("--graph_dir", type=str, default=None)
+    parser.add_argument("--metadata_dir", type=str, default=None)
+    parser.add_argument("--save_data_dir", type=str, default=None)
+    parser.add_argument("--eval_batch_size", type=int, default=None)
     args = parser.parse_args(argv)
     path = args.load_model_dir
 
     config = load_config(os.path.join(path, "config.json"))
+    for key in ("pattern_dir", "graph_dir", "metadata_dir",
+                "save_data_dir", "eval_batch_size"):
+        val = getattr(args, key)
+        if val is not None:
+            config[key] = val
     best = get_best_epochs(os.path.join(path, "log.txt"))
     metric = "eval-" + config["eval_metric"]
     epoch = best[metric]["dev"][0]

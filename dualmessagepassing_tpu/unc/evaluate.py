@@ -185,3 +185,174 @@ def lp_evaluate(test_file_path, emb_dict):
             off += k
         mrr.append(np.mean(curr))
     return float(np.mean(auc)), float(np.mean(mrr))
+
+
+# =============================================================================
+# multi-label node classification (Yelp protocol)
+# =============================================================================
+
+def _read_multilabel_file(path):
+    """Rows are ``index \\t _ \\t nclass \\t labels`` with comma-separated
+    labels; each distinct (nclass, label) pair is one binary class
+    (node_classification.py:87-131)."""
+    ids, pairs = [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split("\t")
+            ids.append(parts[0])
+            pairs.append([(parts[2], l) for l in parts[3].split(",")])
+    return ids, pairs
+
+
+def _binary_label_matrix(pairs, label_dict=None):
+    """[(nclass, label), ...] per node -> [num_classes, num_nodes] bool.
+
+    Pass a shared ``label_dict`` when two files must agree on class
+    indices: the reference builds train and test dictionaries
+    independently by first appearance (node_classification.py:103-129),
+    so its per-class zip silently compares MISALIGNED classes whenever
+    the two files introduce labels in different orders — keyed here
+    instead."""
+    if label_dict is None:
+        label_dict = {}
+    for node_pairs in pairs:
+        for p in node_pairs:
+            if p not in label_dict:
+                label_dict[p] = len(label_dict)
+    mat = np.zeros((len(label_dict), len(pairs)), bool)
+    for i, node_pairs in enumerate(pairs):
+        for p in node_pairs:
+            mat[label_dict[p], i] = True
+    return mat
+
+
+def multi_label_binary_search_cv(data, binary_labels) -> float:
+    """C tuner scoring per-class binary-F1 macro+micro on growing
+    subsamples (Evaluate/utils.py:48-89)."""
+    LinearSVC, f1_score, *_ = _svc_imports()
+    best_c = 1.0
+    n_cls = len(binary_labels)
+    c0 = 10.0 ** (-n_cls)
+    c1 = 1 / c0
+    cnt = 0
+    max_cnt = 2 * n_cls - 1
+    while cnt < max_cnt and abs(c0 - c1) > 1e-10:
+        rng = np.random.RandomState(cnt)
+        idx = rng.choice(len(data), size=(int(len(data) * (cnt + 1) / max_cnt),),
+                         replace=False)
+        cd, cl = data[idx], binary_labels[:, idx]
+        totals = []
+        for c in (c0, c1):
+            scores, weights = [], []
+            for nlabels in cl:
+                if len(np.unique(nlabels)) < 2:
+                    continue  # degenerate subsample guard (as in single-label)
+                clf = LinearSVC(random_state=seed,
+                                max_iter=int(100 * (cnt + 1) / max_cnt),
+                                multi_class="crammer_singer", C=c)
+                clf.fit(cd, nlabels)
+                preds = clf.predict(cd)
+                scores.append(f1_score(nlabels, preds, average="binary"))
+                weights.append(nlabels.sum())
+            if not scores:
+                totals.append(0.0)
+                continue
+            scores = np.asarray(scores, np.float64)
+            weights = np.asarray(weights, np.float64)
+            totals.append(scores.mean() + (scores * weights).sum() / weights.sum())
+        if totals[0] > totals[1]:
+            best_c = c0
+            c1 /= 10
+        else:
+            best_c = c1
+            c0 *= 10
+        cnt += 1
+    return best_c
+
+
+def semisupervised_multi_label_nc(label_path, label_test_path, emb_dict):
+    """Per-class one-vs-rest LinearSVC, train on label file, test on
+    label.test; macro = mean of binary F1s, micro = support-weighted
+    (node_classification.py:87-145)."""
+    LinearSVC, f1_score, *_ = _svc_imports()
+    tr_ids, tr_pairs = _read_multilabel_file(label_path)
+    te_ids, te_pairs = _read_multilabel_file(label_test_path)
+    tr_embs = np.asarray([emb_dict[i] for i in tr_ids])
+    te_embs = np.asarray([emb_dict[i] for i in te_ids])
+    label_dict = {}
+    tr_mat = _binary_label_matrix(tr_pairs, label_dict)
+    te_mat = _binary_label_matrix(te_pairs, label_dict)
+    # classes absent from one side get zero rows so indices stay aligned
+    n_cls = len(label_dict)
+    if len(tr_mat) < n_cls:
+        tr_mat = np.vstack([tr_mat, np.zeros(
+            (n_cls - len(tr_mat), tr_mat.shape[1]), bool)])
+    if len(te_mat) < n_cls:
+        te_mat = np.vstack([te_mat, np.zeros(
+            (n_cls - len(te_mat), te_mat.shape[1]), bool)])
+    scores, weights = [], []
+    for tr_label, te_label in zip(tr_mat, te_mat):
+        if not tr_label.any() or not te_label.any():
+            continue  # class unseen on one side: no trainable/testable signal
+        c = multi_label_binary_search_cv(tr_embs, tr_label[None, :])
+        clf = LinearSVC(random_state=seed, max_iter=max_iter,
+                        multi_class="crammer_singer", C=c)
+        clf.fit(tr_embs, tr_label)
+        preds = clf.predict(te_embs)
+        scores.append(f1_score(te_label, preds, average="binary"))
+        weights.append(te_label.sum())
+    scores = np.asarray(scores, np.float64)
+    weights = np.asarray(weights, np.float64)
+    return float(scores.mean()), float((scores * weights).sum() / weights.sum())
+
+
+def unsupervised_multi_label_nc(label_path, label_test_path, emb_dict):
+    """Merged-file 5-fold protocol; Cs are tuned once per fold on the most
+    frequent class then shared across classes
+    (node_classification.py:147-196; the reference's fold loop unpacks
+    ``nsplit, train_idx, test_idx in enumerate(...)`` which raises
+    ValueError at runtime — implemented correctly here)."""
+    LinearSVC, f1_score, _, _, StratifiedKFold = _svc_imports()
+    ids, pairs = [], []
+    for p in (label_path, label_test_path):
+        i, pr = _read_multilabel_file(p)
+        ids += i
+        pairs += pr
+    embs = np.asarray([emb_dict[i] for i in ids])
+    mat = _binary_label_matrix(pairs)
+
+    anchor = mat[mat.sum(axis=1).argmax()].astype(np.int32)
+    cs = []
+    skf = StratifiedKFold(n_splits=5, shuffle=True, random_state=seed)
+    for tr, _te in skf.split(embs, anchor):
+        cs.append(multi_label_binary_search_cv(embs[tr], mat[:, tr]))
+
+    scores, weights = [], []
+    for binary_label in mat:
+        fold_scores = []
+        skf = StratifiedKFold(n_splits=5, shuffle=True, random_state=seed)
+        for nsplit, (tr, te) in enumerate(skf.split(embs, binary_label)):
+            clf = LinearSVC(random_state=seed, max_iter=max_iter,
+                            multi_class="crammer_singer", C=cs[nsplit])
+            clf.fit(embs[tr], binary_label[tr])
+            preds = clf.predict(embs[te])
+            fold_scores.append(f1_score(binary_label[te], preds,
+                                        average="binary"))
+        scores.append(np.mean(fold_scores))
+        weights.append(binary_label.sum())
+    scores = np.asarray(scores, np.float64)
+    weights = np.asarray(weights, np.float64)
+    return float(scores.mean()), float((scores * weights).sum() / weights.sum())
+
+
+def nc_evaluate(label_path, label_test_path, emb_dict,
+                supervised: bool = False, multi: bool = False):
+    """Dispatcher mirroring node_classification.py:18-29 (the reference
+    keys multi-label on dataset == Yelp; here it is an explicit flag)."""
+    if multi:
+        fn = (semisupervised_multi_label_nc if supervised
+              else unsupervised_multi_label_nc)
+    else:
+        fn = (semisupervised_single_label_nc if supervised
+              else unsupervised_single_label_nc)
+    return fn(label_path, label_test_path, emb_dict)

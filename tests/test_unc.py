@@ -331,3 +331,81 @@ def test_sorted_edges_equivalence(rng, backbone):
     h_unsorted, loss_unsorted = run(unsorted, False)
     np.testing.assert_allclose(h_sorted, h_unsorted, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(loss_sorted, loss_unsorted, rtol=1e-5)
+
+
+def test_multilabel_nc_evaluate(tmp_path, rng):
+    """Separable synthetic embeddings must score near-perfect F1 under
+    both multi-label protocols (reference node_classification.py:87-196;
+    its unsupervised fold loop crashes on a 3-way unpack — ours runs)."""
+    from dualmessagepassing_tpu.unc.evaluate import nc_evaluate
+
+    n = 60
+    embs = rng.normal(size=(n, 8)).astype(np.float32)
+    emb_dict = {str(i): embs[i] for i in range(n)}
+
+    def labels_of(i):
+        labs = []
+        if embs[i, 0] > 0:
+            labs.append(("0", "a"))
+        else:
+            labs.append(("0", "b"))
+        if embs[i, 1] > 0:
+            labs.append(("1", "c"))
+        return labs
+
+    # 4-column rows: index, _, nclass, comma-separated labels
+    def write4(path, idxs):
+        with open(path, "w") as f:
+            for i in idxs:
+                by_class = {}
+                for c, l in labels_of(i):
+                    by_class.setdefault(c, []).append(l)
+                # one row per node; reference format has a single nclass
+                # column — emit the first class's labels
+                c = sorted(by_class)[0]
+                f.write(f"{i}\tx\t{c}\t{','.join(by_class[c])}\n")
+
+    tr = tmp_path / "label.dat"
+    te = tmp_path / "label.dat.test"
+    write4(tr, range(0, 40))
+    write4(te, range(40, 60))
+
+    macro, micro = nc_evaluate(str(tr), str(te), emb_dict,
+                               supervised=True, multi=True)
+    assert macro > 0.85 and micro > 0.85
+
+    macro_u, micro_u = nc_evaluate(str(tr), str(te), emb_dict,
+                                   supervised=False, multi=True)
+    assert macro_u > 0.85 and micro_u > 0.85
+
+
+def test_unc_evaluate_cli(tmp_path, rng):
+    """unc_evaluate CLI end-to-end: nc + lp on synthetic separable data."""
+    from dualmessagepassing_tpu.cli.unc_evaluate import main
+
+    n = 50
+    embs = rng.normal(size=(n, 6)).astype(np.float32)
+    emb_path = tmp_path / "emb.dat"
+    with open(emb_path, "w") as f:
+        f.write("header args\n")
+        for i in range(n):
+            f.write(f"{i}\t" + " ".join(f"{x:.6f}" for x in embs[i]) + "\n")
+    with open(tmp_path / "label.dat", "w") as f:
+        for i in range(0, 35):
+            f.write(f"{i}\t{int(embs[i, 0] > 0)}\n")
+    with open(tmp_path / "label.dat.test", "w") as f:
+        for i in range(35, 50):
+            f.write(f"{i}\t{int(embs[i, 0] > 0)}\n")
+    with open(tmp_path / "link.dat.test", "w") as f:
+        for i in range(0, 40, 2):
+            f.write(f"{i}\t{i+1}\t1\n")
+            f.write(f"{i}\t{(i+7) % n}\t0\n")
+
+    res = main(["--task", "both", "--emb_file", str(emb_path),
+                "--label_file", str(tmp_path / "label.dat"),
+                "--label_test_file", str(tmp_path / "label.dat.test"),
+                "--link_test_file", str(tmp_path / "link.dat.test"),
+                "--record_file", str(tmp_path / "record.dat")])
+    assert "nc" in res and "lp" in res
+    assert res["nc"]["Macro-F1"] > 0.8
+    assert (tmp_path / "record.dat").exists()
