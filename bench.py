@@ -34,15 +34,16 @@ def main():
     #   bsz  512 ->  238M edges/s      (dispatch-overhead-bound)
     #   bsz 1024 ->  744M edges/s
     #   bsz 2048 -> 1.44B edges/s
-    #   bsz 4096 -> 2.78B edges/s      <- default
-    #   bsz 8192 -> 3.36B edges/s      (approaching compute-bound)
+    #   bsz 4096 -> 2.8-2.9B edges/s
+    #   bsz 8192 -> 3.4-5.7B edges/s   <- default (saturation point;
+    #   bsz 16384 -> 5.4B edges/s       16k measures the same)
     # scatter backends at bsz 4096: one-hot einsum 2.78B vs XLA
     # scatter-add 1.67B — the MXU path wins on the SCM envelope even at
     # scale (BENCH_SCATTER=segment to re-measure)
     # matmul precision at bsz 4096: forcing single-pass bfloat16 measured
     # no better than default (BENCH_PRECISION to re-measure); short runs
     # (ITERS<20) carry ~±30% relay/warmup noise — hence the default below
-    bsz = int(os.environ.get("BENCH_BSZ", "4096"))
+    bsz = int(os.environ.get("BENCH_BSZ", "8192"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
     prec = os.environ.get("BENCH_PRECISION")
