@@ -27,6 +27,8 @@ def add_model_config(parser):
     g.add_argument("--rep_num_graph_layers", type=int, default=3)
     g.add_argument("--rep_residual", type=str2bool, default=True)
     g.add_argument("--rep_dropout", type=float, default=0.0)
+    # TPU-first extension: jax.checkpoint each DMP layer (memory <-> recompute)
+    g.add_argument("--rep_remat", type=str2bool, default=False)
     g.add_argument("--rep_act_func", type=str, default="leaky_relu")
     g.add_argument("--share_rep_net", type=str2bool, default=True)
     g.add_argument("--share_emb_net", type=str2bool, default=True)

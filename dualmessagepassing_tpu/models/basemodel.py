@@ -120,6 +120,10 @@ class ModelConfig:
     # scatter backend: None = auto (one-hot einsum for small V), "onehot",
     # "segment" (XLA scatter-add)
     scatter_method: str = None
+    # TPU-first extension (no reference equivalent): rematerialize each DMP
+    # layer under autodiff (jax.checkpoint) to trade recompute for activation
+    # memory — lets big envelopes / batch sizes fit HBM
+    rep_remat: bool = False
 
     # ---- derived dims (basemodel.py:1345-1392) ------------------------------
     def enc_dims(self, which: str) -> Dict[str, int]:

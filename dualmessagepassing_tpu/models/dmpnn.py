@@ -152,6 +152,7 @@ class DMPNNStack(nn.Module):
     dropout: float = 0.0
     residual: bool = True
     scatter_method: Optional[str] = None
+    remat: bool = False  # jax.checkpoint each layer (memory <-> recompute)
 
     @nn.compact
     def __call__(
@@ -165,8 +166,11 @@ class DMPNNStack(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         v = v_emb if v_gate is None else v_emb * v_gate
         e = e_emb if e_gate is None else e_emb * e_gate
+        # static_argnums: 0 is the module itself, 4 is the `train` bool
+        layer_cls = (nn.remat(DMPLayer, static_argnums=(4,))
+                     if self.remat else DMPLayer)
         for i in range(self.num_layers):
-            v_new, e_new = DMPLayer(
+            v_new, e_new = layer_cls(
                 hidden_dim=self.hidden_dim,
                 init_neigenv=self.init_neigenv,
                 init_eeigenv=self.init_eeigenv,
@@ -176,7 +180,7 @@ class DMPNNStack(nn.Module):
                 dropout=self.dropout,
                 scatter_method=self.scatter_method,
                 name=f"dmpnn_{i}",
-            )(graph, v, e, train=train)
+            )(graph, v, e, train)  # train positional: remat static_argnums
             if v_gate is not None:
                 v_new = v_new * v_gate
             if e_gate is not None:

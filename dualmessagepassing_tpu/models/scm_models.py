@@ -30,6 +30,7 @@ class DMPNN(GraphAdjModelV2):
             dropout=cfg.rep_dropout,
             residual=cfg.rep_residual,
             scatter_method=cfg.scatter_method,
+            remat=cfg.rep_remat,
         )
 
 

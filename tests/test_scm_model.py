@@ -190,3 +190,27 @@ def test_position_encoding_model(rng):
     params = model.init(jax.random.PRNGKey(0), pattern, graph)
     out = model.apply(params, pattern, graph)
     assert np.all(np.isfinite(np.asarray(out["pred_c"])))
+
+
+def test_remat_equivalence(rng):
+    """rep_remat=True must be a pure memory/recompute trade: identical
+    forward outputs and (to float tolerance) identical gradients."""
+    pattern, graph = make_pair_batch(rng)
+    m0 = build_model(small_config())
+    m1 = build_model(small_config(rep_remat=True))
+    params = m0.init(jax.random.PRNGKey(0), pattern, graph)
+    out0 = m0.apply(params, pattern, graph)
+    out1 = m1.apply(params, pattern, graph)
+    np.testing.assert_array_equal(np.asarray(out0["pred_c"]),
+                                  np.asarray(out1["pred_c"]))
+
+    def loss(m, p):
+        o = m.apply(p, pattern, graph)
+        return (jnp.mean(o["pred_c"] ** 2) + jnp.mean(o["g_v_rep"] ** 2)
+                + jnp.mean(o["g_e_rep"] ** 2))
+
+    g0 = jax.grad(lambda p: loss(m0, p))(params)
+    g1 = jax.grad(lambda p: loss(m1, p))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
