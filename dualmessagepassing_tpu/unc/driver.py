@@ -267,6 +267,7 @@ def train_unc(
     v_max: Optional[int] = None,
     e_max: Optional[int] = None,
     seed: int = 0,
+    prefetch: int = 2,
     log: Callable[[str], None] = print,
 ):
     """Full UNC pipeline -> (node_embeddings [N, h], coverage fraction).
@@ -321,27 +322,59 @@ def train_unc(
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
     step = make_unc_train_step(model, tx)
+    # AOT-compile before the sampler threads start: remote-dispatch
+    # backends wedge when jit compilation races live worker threads
+    step.lower(params, opt_state, batch_stats, first_dev,
+               jax.random.PRNGKey(seed)).compile()
 
     prev_loss = float("inf")
     k_step = 0
-    for epoch in range(n_epochs):
-        pending = []
-        for edges in batches(train_edges, graph_batch_size, shuffle=True):
-            sub = sample_batch(graph, edges, sampler, sample_depth,
-                               sample_width, graph_split_size, negative_rate,
-                               v_max, e_max, s_max, rng)
-            sub = {k: jnp.asarray(v) for k, v in sub.items()}
-            step_key = jax.random.fold_in(jax.random.PRNGKey(seed), k_step)
-            k_step += 1
-            params, opt_state, batch_stats, loss = step(
-                params, opt_state, batch_stats, sub, step_key)
-            # keep losses on device so host sampling overlaps device compute
-            pending.append(loss)
-        loss = sum(float(l) for l in pending) / max(len(pending), 1)
-        log(f"Epoch {epoch:05d} | Loss {loss:.4f}")
-        if loss > prev_loss:
-            break
-        prev_loss = loss
+    # Host-side sampling is the long pole at large scale (Yelp: 1.7-2.4 s
+    # per batch vs ~0.5 s device step). Two sampler threads run ahead of
+    # the device (the native random-walk kernel releases the GIL through
+    # ctypes), so epoch wall-clock approaches n_batches * sample/2 instead
+    # of n_batches * sample. Each batch gets its own spawned Generator —
+    # the shared Generator is not thread-safe.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(prefetch, 1)) as pool:
+        for epoch in range(n_epochs):
+            batch_list = list(batches(train_edges, graph_batch_size,
+                                      shuffle=True))
+            child_rngs = rng.spawn(len(batch_list))
+
+            def submit(i):
+                return pool.submit(sample_batch, graph, batch_list[i],
+                                   sampler, sample_depth, sample_width,
+                                   graph_split_size, negative_rate,
+                                   v_max, e_max, s_max, child_rngs[i])
+
+            # sliding window caps sampled-but-unconsumed batches in memory
+            window = max(2 * prefetch, 1)
+            futures = {i: submit(i)
+                       for i in range(min(window, len(batch_list)))}
+            pending = []
+            for i in range(len(batch_list)):
+                sub = futures.pop(i).result()
+                nxt = i + window
+                if nxt < len(batch_list):
+                    futures[nxt] = submit(nxt)
+                sub = {k: jnp.asarray(v) for k, v in sub.items()}
+                step_key = jax.random.fold_in(jax.random.PRNGKey(seed), k_step)
+                k_step += 1
+                params, opt_state, batch_stats, loss = step(
+                    params, opt_state, batch_stats, sub, step_key)
+                # sync + read the loss every step: the sampler THREADS carry
+                # the sampling/compute overlap now, and remote-dispatch
+                # backends wedge both on deep un-synced dispatch chains
+                # (16+) and on late device->host reads of old loss
+                # buffers (observed via faulthandler at epoch end)
+                pending.append(float(loss))
+            loss = sum(pending) / max(len(pending), 1)
+            log(f"Epoch {epoch:05d} | Loss {loss:.4f}")
+            if loss > prev_loss:
+                break
+            prev_loss = loss
 
     # final inference pass with moving-average export (main.py:184-209)
     variables = {"params": params}
