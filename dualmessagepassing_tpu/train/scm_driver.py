@@ -198,6 +198,12 @@ def train_epoch(
         n += bsz
         pending.append({k: losses[k] for k in keys})
         bszs.append(bsz)
+        # bound the un-synced dispatch chain: remote-dispatch backends
+        # stall indefinitely on long chains of dependent enqueues
+        # (CLAUDE.md); an occasional sync costs ~nothing since the device
+        # stays saturated while the host collates the next batch
+        if len(pending) % 8 == 0:
+            jax.block_until_ready(losses["total"])
         if log_fn and batch_id % config.get("log_every", 100) == 0 \
                 and batch_id > 0:
             log_fn(f"epoch {epoch} step {batch_id}/{epoch_steps} "
