@@ -152,6 +152,7 @@ def train_unc_supervised(
     v_max: Optional[int] = None,
     e_max: Optional[int] = None,
     seed: int = 0,
+    prefetch: int = 2,
     log: Callable[[str], None] = print,
 ):
     """Semi-supervised UNC training (main.py supervised branch +
@@ -173,9 +174,10 @@ def train_unc_supervised(
         reg_param=reg_param, node_attri=node_attri, backbone=backbone,
         multi=multi)
 
-    def make_batch(edges):
+    def make_batch(edges, brng=None):
+        brng = rng if brng is None else brng
         labeled_edges, sampled_nodes = labeled_edges_sampling(
-            train_indices, ntrain, True, label_batch_size, rng=rng)
+            train_indices, ntrain, True, label_batch_size, rng=brng)
         labeled_samples = (triplets[labeled_edges] if len(labeled_edges)
                            else np.zeros((0, 3), np.int64))
         seeds = np.unique(np.concatenate(
@@ -183,13 +185,13 @@ def train_unc_supervised(
              labeled_samples[:, 0], labeled_samples[:, 2]]))
         if sampler == "neighbor":
             sub = sample_subgraph_by_neighbors(graph, seeds, sample_depth,
-                                               sample_width, rng)
+                                               sample_width, brng)
         else:
             sub = sample_subgraph_by_randomwalks(graph, seeds, sample_depth,
-                                                 sample_width, rng)
+                                                 sample_width, brng)
         labels, index = match_labels_to_subgraph(
             sub["nid"], sampled_nodes, train_labels, nlabel, multi)
-        sub = edge_dropout(sub, graph_split_size, rng)
+        sub = edge_dropout(sub, graph_split_size, brng)
         norm = compute_edgenorm(sub)
         padded = pad_subgraph(sub, np.zeros((0, 3), np.int64),
                               np.zeros(0, np.float32), v_max, e_max, 1,
@@ -212,6 +214,7 @@ def train_unc_supervised(
 
     first, ml, mi, mm = make_batch(triplets[: graph_batch_size])
     first_dev = {k: jnp.asarray(v) for k, v in first.items()}
+    log("initializing parameters (jit)...")
     variables = init_unc_variables(model, jax.random.PRNGKey(seed), first_dev)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -219,27 +222,46 @@ def train_unc_supervised(
     tx = make_unc_optimizer(lr, n_epochs * n_batches, grad_norm)
     opt_state = tx.init(params)
     step = make_unc_supervised_step(model, tx, multi)
+    # AOT-compile before sampler threads start (same relay hazard as
+    # train_unc: compilation racing live worker threads wedges)
+    log("compiling train step (AOT)...")
+    step.lower(params, opt_state, batch_stats, first_dev, jnp.asarray(ml),
+               jnp.asarray(mi), jnp.asarray(mm),
+               jax.random.PRNGKey(seed)).compile()
+    log("compile done; training...")
+    from concurrent.futures import ThreadPoolExecutor
 
     prev_loss = float("inf")
     k = 0
-    for epoch in range(n_epochs):
-        losses = []
-        order = rng.permutation(len(triplets))
-        for i in range(0, len(order), graph_batch_size):
-            edges = triplets[order[i: i + graph_batch_size]]
-            padded, ml, mi, mm = make_batch(edges)
-            sub = {kk: jnp.asarray(v) for kk, v in padded.items()}
-            params, opt_state, batch_stats, loss = step(
-                params, opt_state, batch_stats, sub, jnp.asarray(ml),
-                jnp.asarray(mi), jnp.asarray(mm),
-                jax.random.fold_in(jax.random.PRNGKey(seed), k))
-            k += 1
-            losses.append(float(loss))
-        loss = sum(losses) / max(len(losses), 1)
-        log(f"Epoch {epoch:05d} | Loss {loss:.4f}")
-        if loss > prev_loss:
-            break
-        prev_loss = loss
+    with ThreadPoolExecutor(max_workers=max(prefetch, 1)) as tpool:
+        for epoch in range(n_epochs):
+            losses = []
+            order = rng.permutation(len(triplets))
+            batch_list = [triplets[order[i: i + graph_batch_size]]
+                          for i in range(0, len(order), graph_batch_size)]
+            child_rngs = rng.spawn(len(batch_list))
+            window = max(2 * prefetch, 1)
+            futures = {i: tpool.submit(make_batch, batch_list[i],
+                                       child_rngs[i])
+                       for i in range(min(window, len(batch_list)))}
+            for i in range(len(batch_list)):
+                padded, ml, mi, mm = futures.pop(i).result()
+                nxt = i + window
+                if nxt < len(batch_list):
+                    futures[nxt] = tpool.submit(make_batch, batch_list[nxt],
+                                                child_rngs[nxt])
+                sub = {kk: jnp.asarray(v) for kk, v in padded.items()}
+                params, opt_state, batch_stats, loss = step(
+                    params, opt_state, batch_stats, sub, jnp.asarray(ml),
+                    jnp.asarray(mi), jnp.asarray(mm),
+                    jax.random.fold_in(jax.random.PRNGKey(seed), k))
+                k += 1
+                losses.append(float(loss))
+            loss = sum(losses) / max(len(losses), 1)
+            log(f"Epoch {epoch:05d} | Loss {loss:.4f}")
+            if loss > prev_loss:
+                break
+            prev_loss = loss
     return {"params": params, "batch_stats": batch_stats}, model
 
 
@@ -317,6 +339,7 @@ def train_unc(
                          sample_depth, sample_width, graph_split_size,
                          negative_rate, v_max, e_max, s_max, rng)
     first_dev = {k: jnp.asarray(v) for k, v in first.items()}
+    log("initializing parameters (jit)...")
     variables = init_unc_variables(model, jax.random.PRNGKey(seed), first_dev)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -324,8 +347,10 @@ def train_unc(
     step = make_unc_train_step(model, tx)
     # AOT-compile before the sampler threads start: remote-dispatch
     # backends wedge when jit compilation races live worker threads
+    log("compiling train step (AOT)...")
     step.lower(params, opt_state, batch_stats, first_dev,
                jax.random.PRNGKey(seed)).compile()
+    log("compile done; training...")
 
     prev_loss = float("inf")
     k_step = 0
