@@ -129,20 +129,24 @@ class CompGCNStack(nn.Module):
     dropout: float = 0.0
     residual: bool = True
     scatter_method: Optional[str] = None
+    remat: bool = False  # jax.checkpoint each layer (memory <-> recompute)
 
     @nn.compact
     def __call__(self, graph: GraphBatch, v_emb, e_emb, v_gate=None,
                  e_gate=None, train: bool = False):
         v = v_emb if v_gate is None else v_emb * v_gate
         e = e_emb if e_gate is None else e_emb * e_gate
+        # static_argnums: 0 is the module itself, 4 is the `train` bool
+        layer_cls = (nn.remat(CompGCNLayer, static_argnums=(4,))
+                     if self.remat else CompGCNLayer)
         for i in range(self.num_layers):
-            v_new, e_new = CompGCNLayer(
+            v_new, e_new = layer_cls(
                 hidden_dim=self.hidden_dim, comp_opt=self.comp_opt,
                 edge_norm=self.edge_norm, batch_norm=self.batch_norm,
                 act=self.act, dropout=self.dropout,
                 scatter_method=self.scatter_method,
                 name=f"compgcn_{i}",
-            )(graph, v, e, train=train)
+            )(graph, v, e, train)
             if v_gate is not None:
                 v_new = v_new * v_gate
             if e_gate is not None:
@@ -168,6 +172,7 @@ class CompGCN(GraphAdjModelV2):
             act=cfg.rep_act_func,
             dropout=cfg.rep_dropout,
             residual=cfg.rep_residual,
+            remat=cfg.rep_remat,
         )
 
 

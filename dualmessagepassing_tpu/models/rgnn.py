@@ -228,28 +228,32 @@ class RGNNStack(nn.Module):
     act: str = "relu"
     dropout: float = 0.0
     residual: bool = True
+    remat: bool = False  # jax.checkpoint each layer (memory <-> recompute)
 
     @nn.compact
     def __call__(self, graph: GraphBatch, v_emb, v_gate=None,
                  train: bool = False):
         v = v_emb if v_gate is None else v_emb * v_gate
+        # static_argnums: 0 is the module itself, 3 is the `train` bool
+        def wrap(cls):
+            return nn.remat(cls, static_argnums=(3,)) if self.remat else cls
         for i in range(self.num_layers):
             if self.kind == "rgcn":
-                layer = RGCNLayer(
+                layer = wrap(RGCNLayer)(
                     hidden_dim=self.hidden_dim, num_rels=self.num_rels,
                     regularizer=self.regularizer, num_bases=self.num_bases,
                     edge_norm=self.edge_norm, batch_norm=self.batch_norm,
                     act=self.act, dropout=self.dropout, name=f"rgcn_{i}",
                 )
             else:
-                layer = RGINLayer(
+                layer = wrap(RGINLayer)(
                     hidden_dim=self.hidden_dim, num_rels=self.num_rels,
                     regularizer=self.regularizer, num_bases=self.num_bases,
                     num_mlp_layers=self.num_mlp_layers,
                     batch_norm=self.batch_norm,
                     act=self.act, dropout=self.dropout, name=f"rgin_{i}",
                 )
-            v_new = layer(graph, v, train=train)
+            v_new = layer(graph, v, train)  # train positional: remat
             if v_gate is not None:
                 v_new = v_new * v_gate
             if self.residual and v_new.shape == v.shape:
@@ -272,7 +276,7 @@ class RGCN(GraphAdjModel):
             edge_norm=cfg.rep_rgcn_edge_norm,
             batch_norm=cfg.rep_rgcn_batch_norm,
             act=cfg.rep_act_func, dropout=cfg.rep_dropout,
-            residual=cfg.rep_residual,
+            residual=cfg.rep_residual, remat=cfg.rep_remat,
         )
 
 
@@ -289,7 +293,7 @@ class RGIN(GraphAdjModel):
             num_mlp_layers=cfg.rep_rgin_num_mlp_layers,
             batch_norm=cfg.rep_rgin_batch_norm,
             act=cfg.rep_act_func, dropout=cfg.rep_dropout,
-            residual=cfg.rep_residual,
+            residual=cfg.rep_residual, remat=cfg.rep_remat,
         )
 
 

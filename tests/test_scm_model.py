@@ -192,12 +192,21 @@ def test_position_encoding_model(rng):
     assert np.all(np.isfinite(np.asarray(out["pred_c"])))
 
 
-def test_remat_equivalence(rng):
+import pytest
+
+
+@pytest.mark.parametrize("rep_net,extra", [
+    ("DMPNN", {}),
+    ("CompGCN", {}),
+    ("RGCN", {"rep_rgcn_num_bases": 2}),
+    ("RGIN", {"rep_rgin_num_bases": 2}),
+])
+def test_remat_equivalence(rng, rep_net, extra):
     """rep_remat=True must be a pure memory/recompute trade: identical
     forward outputs and (to float tolerance) identical gradients."""
     pattern, graph = make_pair_batch(rng)
-    m0 = build_model(small_config())
-    m1 = build_model(small_config(rep_remat=True))
+    m0 = build_model(small_config(rep_net=rep_net, **extra))
+    m1 = build_model(small_config(rep_net=rep_net, rep_remat=True, **extra))
     params = m0.init(jax.random.PRNGKey(0), pattern, graph)
     out0 = m0.apply(params, pattern, graph)
     out1 = m1.apply(params, pattern, graph)
@@ -206,8 +215,10 @@ def test_remat_equivalence(rng):
 
     def loss(m, p):
         o = m.apply(p, pattern, graph)
-        return (jnp.mean(o["pred_c"] ** 2) + jnp.mean(o["g_v_rep"] ** 2)
-                + jnp.mean(o["g_e_rep"] ** 2))
+        l = jnp.mean(o["pred_c"] ** 2) + jnp.mean(o["g_v_rep"] ** 2)
+        if o["g_e_rep"] is not None:   # RGCN/RGIN are node-only
+            l = l + jnp.mean(o["g_e_rep"] ** 2)
+        return l
 
     g0 = jax.grad(lambda p: loss(m0, p))(params)
     g1 = jax.grad(lambda p: loss(m1, p))(params)
