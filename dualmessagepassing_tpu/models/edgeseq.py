@@ -317,16 +317,18 @@ class CNNStack(nn.Module):
             if gate is not None:
                 g = g * gate
         x = emb if g is None else emb * g
+        # static_argnums: 0 is the module itself, 3 is the `train` bool
+        cnn_cls = (nn.remat(CNNLayer, static_argnums=(3,))
+                   if cfg.rep_remat else CNNLayer)
         for i, (k, p, s, pk) in enumerate(cnn_geometry(cfg)):
-            layer = CNNLayer(cfg.hid_dim, kernel_size=k, padding=p, stride=s,
-                             batch_norm=cfg.rep_cnn_batch_norm,
-                             act=cfg.rep_act_func, dropout=cfg.rep_dropout,
-                             name=f"cnn_{i}")
+            layer = cnn_cls(cfg.hid_dim, kernel_size=k, padding=p, stride=s,
+                            batch_norm=cfg.rep_cnn_batch_norm,
+                            act=cfg.rep_act_func, dropout=cfg.rep_dropout,
+                            name=f"cnn_{i}")
             if g is not None:
                 g = _max_pool1d(g, k, s, p)
                 g = _max_pool1d(g, pk, 1, p)
-            o = layer(x, mask=(g[..., 0] > 0) if g is not None else None,
-                      train=train)
+            o = layer(x, (g[..., 0] > 0) if g is not None else None, train)
             if g is not None:
                 o = o * g
             if cfg.rep_residual and o.shape == x.shape:
@@ -404,10 +406,13 @@ class RNNStack(nn.Module):
         # graph path (gate): gated with residual (rnn.py:113-122)
         residual = cfg.rep_residual and (gate is not None or g is None)
         x = emb if g is None else emb * g
+        # static_argnums: 0 is the module itself, 2 is the `train` bool
+        rnn_cls = (nn.remat(RNNLayer, static_argnums=(2,))
+                   if cfg.rep_remat else RNNLayer)
         for i in range(cfg.rep_num_graph_layers):
-            o = RNNLayer(cfg.hid_dim, cfg.rep_rnn_type,
-                         cfg.rep_rnn_bidirectional, cfg.rep_rnn_layer_norm,
-                         cfg.rep_dropout, name=f"rnn_{i}")(x, train=train)
+            o = rnn_cls(cfg.hid_dim, cfg.rep_rnn_type,
+                        cfg.rep_rnn_bidirectional, cfg.rep_rnn_layer_norm,
+                        cfg.rep_dropout, name=f"rnn_{i}")(x, train)
             if g is not None:
                 o = o * g
             if residual and o.shape == x.shape:

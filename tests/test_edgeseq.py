@@ -108,3 +108,29 @@ def test_edgeseq_dataset_batchify():
     # weight sum is invariant under the sequence sort
     for i in range(8):
         assert float(ew[i].sum()) == float(data[i]["edge_weights"].sum())
+
+
+@pytest.mark.parametrize("rep_net,extra", [
+    ("CNN", {}),
+    ("RNN", {"rep_rnn_type": "GRU"}),
+])
+def test_edgeseq_remat_equivalence(rng, rep_net, extra):
+    """rep_remat on the sequence stacks: identical forward and grads."""
+    pattern, graph = make_seq_batch(rng)
+    m0 = build_model(seq_config(rep_net=rep_net, **extra))
+    m1 = build_model(seq_config(rep_net=rep_net, rep_remat=True, **extra))
+    params = m0.init(jax.random.PRNGKey(0), pattern, graph)
+    out0 = m0.apply(params, pattern, graph)
+    out1 = m1.apply(params, pattern, graph)
+    np.testing.assert_array_equal(np.asarray(out0["pred_c"]),
+                                  np.asarray(out1["pred_c"]))
+
+    def loss(m, p):
+        o = m.apply(p, pattern, graph)
+        return jnp.mean(o["pred_c"] ** 2) + jnp.mean(o["g_e_rep"] ** 2)
+
+    g0 = jax.grad(lambda p: loss(m0, p))(params)
+    g1 = jax.grad(lambda p: loss(m1, p))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
