@@ -107,3 +107,40 @@ def test_samplers_cover_dataset(tiny_dataset):
     c.set_epoch(0)
     b2 = [b.tolist() for b in c]
     assert b1 == b2
+
+
+def test_sampler_determinism(tiny_dataset):
+    """Same seed -> identical batch order; different epoch seed -> usually
+    different (SURVEY §4: determinism tests for samplers given a seed)."""
+    sizes = tiny_dataset.sizes()
+    a = [list(b) for b in BucketSampler(sizes, ["g_len", "p_len"],
+                                        batch_size=8, shuffle=True, seed=3)]
+    b = [list(b) for b in BucketSampler(sizes, ["g_len", "p_len"],
+                                        batch_size=8, shuffle=True, seed=3)]
+    assert a == b
+    c1 = CurriculumSampler(sizes, ["p_len", "g_len"], used_ratio=1.0,
+                           batch_size=8, seed=3)
+    c2 = CurriculumSampler(sizes, ["p_len", "g_len"], used_ratio=1.0,
+                           batch_size=8, seed=3)
+    c1.set_epoch(1)
+    c2.set_epoch(1)
+    assert [list(x) for x in c1] == [list(x) for x in c2]
+
+
+def test_unc_sampler_determinism():
+    """Same-seed random walks and neighbor samples are identical."""
+    import numpy as np
+    from dualmessagepassing_tpu.unc.data import (
+        WholeGraph, sample_subgraph_by_neighbors,
+        sample_subgraph_by_randomwalks)
+
+    rng = np.random.default_rng(0)
+    t = np.stack([rng.integers(0, 30, 120), rng.integers(0, 3, 120),
+                  rng.integers(0, 30, 120)], 1).astype(np.int64)
+    g = WholeGraph(30, 3, t)
+    seeds = np.arange(0, 30, 3)
+    for fn in (sample_subgraph_by_randomwalks, sample_subgraph_by_neighbors):
+        s1 = fn(g, seeds, 2, 4, np.random.default_rng(7))
+        s2 = fn(g, seeds, 2, 4, np.random.default_rng(7))
+        for k in s1:
+            np.testing.assert_array_equal(s1[k], s2[k])
