@@ -37,9 +37,9 @@ def main():
     #   bsz 4096 -> 2.8-2.9B edges/s
     #   bsz 8192 -> 3.4-5.7B edges/s   <- default (saturation point;
     #   bsz 16384 -> 5.4B edges/s       16k measures the same)
-    # scatter backends at bsz 4096: one-hot einsum 2.78B vs XLA
-    # scatter-add 1.67B — the MXU path wins on the SCM envelope even at
-    # scale (BENCH_SCATTER=segment to re-measure)
+    # scatter backends: one-hot einsum vs XLA scatter-add — the MXU path
+    # wins on the SCM envelope at every size tried (bsz 4096: 2.78B vs
+    # 1.67B; bsz 8192: ~5.2B vs 3.78B; BENCH_SCATTER=segment re-measures)
     # matmul precision at bsz 4096: forcing single-pass bfloat16 measured
     # no better than default (BENCH_PRECISION to re-measure); short runs
     # (ITERS<20) carry ~±30% relay/warmup noise — hence the default below
