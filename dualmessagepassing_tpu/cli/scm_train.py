@@ -194,8 +194,16 @@ def main(argv=None):
         import optax
         tx = optax.MultiSteps(tx, config["train_grad_steps"])
     state = TrainState.create(variables, tx)
+    # derived warmup/cycles for the LR schedule (reference train.py:1231-1254)
+    from ..train.schedules import derive_schedule_config
+    config.update(derive_schedule_config(len(datasets["train"]), config))
+    logger.info("schedule: warmup %d steps, horizon %d, cycles %.3f,"
+                " min_percent %g" % (
+                    config["num_warmup_steps"], config["num_schedule_steps"],
+                    config["num_cycles"], config["min_percent"]))
     train_step = make_train_step(model, tx, config["bp_loss"],
-                                 config["match_weights"])
+                                 config["match_weights"],
+                                 eval_metric=config["eval_metric"])
     eval_step = make_eval_step(model)
 
     sizes = {k: v.sizes() for k, v in datasets.items()}
@@ -231,12 +239,13 @@ def main(argv=None):
                 "__iter__": (lambda self, s=sampler, m=_sub:
                              iter(m[b] for b in s)),
                 "__len__": lambda self, s=sampler: len(s),
+                "full_len": property(lambda self, s=sampler: s.full_len),
             })()
         from ..utils.profiling import trace
         with trace(config.get("profile_dir") if epoch == 0 else None):
             state, totals = train_epoch(
                 state, train_step, datasets["train"], sampler, config,
-                epoch, rng, log_fn=logger.info)
+                epoch, rng, log_fn=logger.info, writer=writer)
         logger.info("train throughput: %.0f edges/s"
                     % totals.get("edges_per_sec", 0.0))
         logger.info("data_type: %-10s\tepoch: %05d/%05d\tloss: %.6f" % (

@@ -60,6 +60,7 @@ def scm_loss(
     match_loss_w: float = 0.0,
     match_reg_w: float = 0.0,
     rep_reg_w: float = 0.0,
+    eval_metric: Optional[str] = None,
 ) -> Dict[str, Array]:
     """Full training objective (train.py:624-661). Scalar schedule values
     (neg_slope, *_w) are passed in as traced scalars so one compiled step
@@ -120,7 +121,7 @@ def scm_loss(
         + match_loss_w * (match_v_loss + match_e_loss)
         + match_reg_w * (match_v_reg + match_e_reg)
     )
-    return {
+    out = {
         "total": total,
         "count_loss": count_loss,
         "match_v_loss": match_v_loss,
@@ -129,3 +130,8 @@ def scm_loss(
         "match_e_reg": match_e_reg,
         "rep_reg": rep_reg,
     }
+    if eval_metric and eval_metric != "AUC":
+        # per-step eval metric logged by the reference (train.py:689-691);
+        # AUC is batch-global/sklearn-side and stays epoch-level
+        out["eval_metric"] = eval_criterion(eval_metric, pred_c, counts)
+    return out

@@ -42,6 +42,13 @@ class BucketSampler:
     def __len__(self):
         return self.num_samples // self.batch_size
 
+    @property
+    def full_len(self) -> int:
+        """Batches per epoch ignoring any curriculum subsetting — the
+        reference's len(data_loader) (sampler.py:76-77), which its scalar
+        schedules use as the per-epoch step clock (train.py:451-452)."""
+        return self.num_samples // self.batch_size
+
     def _padded_indices(self, rng) -> np.ndarray:
         n = len(self.sizes)
         ind = np.arange(n)
@@ -86,6 +93,21 @@ class CurriculumSampler(BucketSampler):
         super().__init__(sizes, group_by, batch_size, shuffle, seed, drop_last)
         self.learning_by = learning_by
         self.used_ratio = used_ratio
+
+    def __len__(self):
+        """Number of batches actually yielded under used_ratio.
+
+        The reference inherits BucketSampler.__len__, which ignores
+        used_ratio — but nothing there consumes len() for scheduling (its
+        LR scheduler steps per yielded batch); our epoch loop does, so the
+        honest count matters. The full-clock value remains available as
+        .full_len for the reference's scalar-schedule step formula."""
+        if (self.learning_by == self.group_by
+                or self.learning_by == self.group_by[: len(self.learning_by)]):
+            kept = math.ceil(self.used_ratio * self.num_samples)
+        else:
+            kept = int(self.used_ratio * self.num_samples)
+        return math.ceil(kept / self.batch_size)
 
     def __iter__(self) -> Iterator[np.ndarray]:
         rng = np.random.default_rng(self.seed + self.epoch)

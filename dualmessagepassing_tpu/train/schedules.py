@@ -94,6 +94,34 @@ def scalar_schedule(spec: Union[str, float, int], total_steps: int) -> Callable[
         raise ValueError(f"bad scalar schedule spec: {spec!r}") from None
 
 
+def derive_schedule_config(num_train: int, config: dict) -> dict:
+    """Reference-derived warmup/cycle parameters (train.py:1231-1254).
+
+      num_warmup_steps  = int(N/bsz * 0.5 * min(0.06*epochs, early_stop))
+      num_schedule_steps = int(N/bsz * epochs) [- warmup if min_percent>EPS]
+      min_percent       = max(1e-3, weight_decay)
+      num_cycles        = max(1, num_schedule_steps / 20000)
+
+    Returns the four keys; callers merge them into the train config so the
+    default recipe runs with the reference's warmup instead of zero.
+    """
+    from ..constants import EPS
+
+    steps = num_train / config["train_batch_size"]
+    warmup = int(steps * 0.5 * min(config["train_epochs"] * 0.06,
+                                   config["early_stop_rounds"]))
+    schedule = int(steps * config["train_epochs"])
+    min_percent = max(1e-3, config["weight_decay"])
+    if min_percent > EPS:
+        schedule -= warmup
+    return {
+        "num_warmup_steps": warmup,
+        "num_schedule_steps": schedule,
+        "min_percent": min_percent,
+        "num_cycles": max(1, schedule / 20000),
+    }
+
+
 # =============================================================================
 # LR schedules (multiplier form; multiply by base lr for optax)
 # =============================================================================

@@ -67,7 +67,8 @@ def make_optimizer(lr: float, weight_decay: float = 1e-5,
 
 
 def make_train_step(model, tx, bp_loss: str = "MSE",
-                    return_weights: str = "none") -> Callable:
+                    return_weights: str = "none",
+                    eval_metric: Optional[str] = None) -> Callable:
     """Jitted (state, batch, scalars) -> (state, losses)."""
 
     use_node_w = "node" in return_weights
@@ -104,7 +105,7 @@ def make_train_step(model, tx, bp_loss: str = "MSE",
                 edge_weights if use_edge_w else None,
                 bp_loss=bp_loss, neg_slope=neg_slope,
                 match_loss_w=match_loss_w, match_reg_w=match_reg_w,
-                rep_reg_w=rep_reg_w,
+                rep_reg_w=rep_reg_w, eval_metric=eval_metric,
             )
             return losses["total"], (losses, mutated.get("batch_stats", {}))
 
@@ -138,28 +139,44 @@ def train_epoch(
     epoch: int,
     rng_key,
     log_fn: Optional[Callable[[str], None]] = None,
+    writer=None,
+    data_type: str = "train",
 ) -> Tuple[TrainState, Dict[str, float]]:
-    """One epoch over sampler batches (train.py:486-784)."""
+    """One epoch over sampler batches (train.py:486-784).
+
+    Two schedule clocks, matching the reference exactly:
+      * scalar schedules (neg_slp, loss weights) advance on
+        `epoch * full_epoch_steps + batch_id` where full_epoch_steps ignores
+        the curriculum's used_ratio — the reference's len(data_loader)
+        inherits BucketSampler.__len__ (sampler.py:76-77, train.py:451-452);
+      * the LR schedule advances once per yielded batch (scheduler.step(),
+        train.py:685-686) — cumulative count carried by state.step.
+    """
     epoch_steps = len(sampler)
-    total_steps = config.get("train_epochs", 100) * max(epoch_steps, 1)
+    full_epoch_steps = getattr(sampler, "full_len", epoch_steps)
+    total_steps = config.get("train_epochs", 100) * max(full_epoch_steps, 1)
     neg_slp_s = scalar_schedule(config.get("neg_pred_slp", 0.2), total_steps)
     match_w_s = scalar_schedule(config.get("match_loss_w", 0.0), total_steps)
     match_r_s = scalar_schedule(config.get("match_reg_w", 0.0), total_steps)
     rep_r_s = scalar_schedule(config.get("rep_reg_w", 0.0), total_steps)
+    from ..constants import MIN_PERCENT
     lr_s = lr_schedule(
         config.get("scheduler", "constant"),
         num_warmup_steps=config.get("num_warmup_steps", 0),
-        num_schedule_steps=total_steps,
+        num_schedule_steps=config.get("num_schedule_steps", total_steps),
         num_cycles=config.get("num_cycles", 2),
+        min_percent=config.get("min_percent", MIN_PERCENT),
     )
     return_weights = config.get("pred_return_weights", "none")
+    # cumulative LR clock (reference scheduler.step() per yielded batch)
+    lr_step0 = int(state.step)
 
-    keys = ("total", "count_loss", "match_v_loss", "match_e_loss",
-            "rep_reg")
+    keys = None
     # device-side loss accumulation: reading a loss back every step would
     # force a sync and serialize host collate with device compute; keep
     # per-step losses on device and read once at epoch end
     pending = []
+    sched_vals = []
     bszs = []
     n = 0
     total_edges = 0
@@ -172,7 +189,8 @@ def train_epoch(
     for batch_id, idx in enumerate(sampler):
         ids, pattern, graph, counts, (nw, ew) = dataset.batchify(
             idx, return_weights)
-        step = epoch * epoch_steps + batch_id
+        step = epoch * full_epoch_steps + batch_id     # scalar clock
+        lr_mult = lr_s(lr_step0 + batch_id)            # LR clock
         rng_key, drop_key = jax.random.split(rng_key)
         # placeholder weight targets (EdgeSeqBatch has one mask for both)
         v_mask = getattr(graph, "node_mask", None)
@@ -181,13 +199,16 @@ def train_epoch(
         e_mask = getattr(graph, "edge_mask", None)
         if e_mask is None:
             e_mask = graph.mask
+        scal = dict(neg_slp=neg_slp_s(step), match_loss_w=match_w_s(step),
+                    match_reg_w=match_r_s(step), rep_reg_w=rep_r_s(step),
+                    lr=lr_mult * config.get("lr", 1e-3), step=step)
         state, losses = train_step(
             state, pattern, graph, counts,
             nw if nw is not None else jnp.zeros(v_mask.shape, jnp.float32),
             ew if ew is not None else jnp.zeros(e_mask.shape, jnp.float32),
-            jnp.float32(neg_slp_s(step)), jnp.float32(match_w_s(step)),
-            jnp.float32(match_r_s(step)), jnp.float32(rep_r_s(step)),
-            jnp.float32(lr_s(step)), drop_key,
+            jnp.float32(scal["neg_slp"]), jnp.float32(scal["match_loss_w"]),
+            jnp.float32(scal["match_reg_w"]), jnp.float32(scal["rep_reg_w"]),
+            jnp.float32(lr_mult), drop_key,
         )
         bsz = counts.shape[0]
         # count real edges host-side (a device read here would serialize
@@ -196,7 +217,10 @@ def train_epoch(
             total_edges += sum(host_sizes[i]["g_len"] + host_sizes[i]["p_len"]
                                for i in idx)
         n += bsz
+        if keys is None:
+            keys = tuple(losses.keys())
         pending.append({k: losses[k] for k in keys})
+        sched_vals.append(scal)
         bszs.append(bsz)
         # bound the un-synced dispatch chain: remote-dispatch backends
         # stall indefinitely on long chains of dependent enqueues
@@ -210,10 +234,38 @@ def train_epoch(
                    f"loss {float(pending[-1]['total']):.6f}")
     jax.block_until_ready(state.params)
     dt = _time.perf_counter() - t_epoch
+    keys = keys or ()
     totals = {k: 0.0 for k in keys}
     for losses, bsz in zip(pending, bszs):
         for k in keys:
             totals[k] += float(losses[k]) * bsz
+    # per-step TensorBoard scalars (reference train.py:688-724) — written
+    # after the epoch's sync point so logging never forces a mid-epoch
+    # device sync; values and step axis are identical to the reference's
+    if writer is not None:
+        bp = config.get("bp_loss", "MSE")
+        em = config.get("eval_metric", "MAE")
+        for losses, scal in zip(pending, sched_vals):
+            s = scal["step"]
+            if "eval_metric" in losses:
+                writer.add_scalar("%s/eval-%s" % (data_type, em),
+                                  float(losses["eval_metric"]), s)
+            writer.add_scalar("%s/train-%s" % (data_type, bp),
+                              float(losses["total"]), s)
+            writer.add_scalar("train/lr", scal["lr"], s)
+            writer.add_scalar("train/neg_slp", scal["neg_slp"], s)
+            writer.add_scalar("train/match_loss_w", scal["match_loss_w"], s)
+            writer.add_scalar("train/match_v_loss",
+                              float(losses["match_v_loss"]), s)
+            writer.add_scalar("train/match_e_loss",
+                              float(losses["match_e_loss"]), s)
+            writer.add_scalar("train/match_reg_w", scal["match_reg_w"], s)
+            writer.add_scalar("train/match_v_reg",
+                              float(losses["match_v_reg"]), s)
+            writer.add_scalar("train/match_e_reg",
+                              float(losses["match_e_reg"]), s)
+            writer.add_scalar("train/rep_reg_w", scal["rep_reg_w"], s)
+            writer.add_scalar("train/rep_reg", float(losses["rep_reg"]), s)
     out = {k: v / max(n, 1) for k, v in totals.items()}
     out["edges_per_sec"] = total_edges / dt if dt > 0 else 0.0
     return state, out
