@@ -3,26 +3,98 @@
 Measures edges/second (pattern+graph edges, reversed included) of the full
 jitted training step (forward + backward + AdamW update) on the Complex
 dataset envelope (reference README.md:88-92: pattern 8V/8E, graph 64V/256E,
-16 labels, bsz 512) with reversed-edge augmentation — the heaviest published
-SCM configuration.
+16 labels) with reversed-edge augmentation — the heaviest published SCM
+configuration.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline` compares against BASELINE_BENCH.json in the repo root if
-present (written once from the first TPU measurement); otherwise 1.0 —
-the reference publishes no throughput numbers (BASELINE.md).
+Timing method (round-2 rework; round-1 VERDICT "what's weak" #1):
+  * the PRIMARY clock is the DEVICE trace — steps run under
+    jax.profiler.trace and per-step time is the "XLA Modules" lane of the
+    exported Chrome trace. Host-side clocks through the remote-dispatch
+    relay are untrustworthy in BOTH directions (block_until_ready measured
+    1 ms for a 91 ms step in one session and 437 ms for a 376 ms step in
+    another); the device trace is the only witness of chip execution.
+  * FLOPs/step come from compiled.cost_analysis(); the run FAILS (exit 1)
+    if the implied MFU exceeds 1.0 of the v5e bf16 peak — a physically
+    impossible number means the clock lied.
+  * a batch-size scaling check (BENCH_SCALECHECK=1, default on) re-times
+    at bsz/4 and fails if step time does not grow with batch size.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+`vs_baseline` compares against BASELINE_BENCH.json in the repo root —
+re-anchored in round 2 with this device-trace method on the round-1 model
+(376.4 ms/step at bsz 2048 => 2.87M edges/s; the reference publishes no
+throughput numbers, BASELINE.md).
 """
 
 from __future__ import annotations
 
+import glob
+import gzip
 import json
 import os
 import sys
+import tempfile
 import time
 
 import numpy as np
 
+# v5e peak: ~197 TFLOP/s bf16, ~99 TFLOP/s f32. Use bf16 peak (default
+# matmul precision on TPU is bf16) — conservative for the MFU<=1 gate.
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
 
-def main():
+
+def device_ms_per_step(logdir: str, iters: int):
+    """Per-step device time from the newest Chrome trace under logdir.
+
+    Sums the "XLA Modules" lane (one event per executed XLA program) on
+    every device plane. Returns None if no trace was produced (e.g. CPU
+    test runs where the profiler plugin is absent)."""
+    paths = sorted(glob.glob(os.path.join(
+        logdir, "**", "*.trace.json.gz"), recursive=True))
+    if not paths:
+        return None
+    data = json.load(gzip.open(paths[-1]))
+    evs = data.get("traceEvents", [])
+    lane_names = {}
+    for e in evs:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            lane_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    total_us = 0.0
+    n = 0
+    for e in evs:
+        if e.get("ph") != "X":
+            continue
+        if lane_names.get((e["pid"], e.get("tid"))) == "XLA Modules":
+            total_us += e.get("dur", 0.0)
+            n += 1
+    if n == 0:
+        return None
+    # n may exceed iters (e.g. stray dispatches); normalize by events seen
+    # of the dominant module — in practice the train step is the only
+    # program running, so total/iters is the honest per-step time.
+    return total_us / 1e3 / max(iters, 1)
+
+
+def time_step(advance, state, iters: int):
+    """(device_ms, host_blocked_ms) for `iters` calls of state = advance(state)."""
+    import jax
+
+    for _ in range(2):   # warmup
+        state = advance(state)
+    jax.block_until_ready(state)
+
+    logdir = tempfile.mkdtemp(prefix="bench_trace_")
+    t0 = time.perf_counter()
+    with jax.profiler.trace(logdir):
+        for _ in range(iters):
+            state = advance(state)
+        jax.block_until_ready(state)
+    host_ms = (time.perf_counter() - t0) / iters * 1e3
+    dev_ms = device_ms_per_step(logdir, iters)
+    return dev_ms, host_ms
+
+
+def build_step(bsz: int):
     import jax
     import jax.numpy as jnp
     import optax
@@ -30,35 +102,14 @@ def main():
     from dualmessagepassing_tpu import build_model
     from __graft_entry__ import _flagship_config, _make_batch
 
-    # Throughput sweep on 1x v5e (full train step, donated buffers):
-    #   bsz  512 ->  238M edges/s      (dispatch-overhead-bound)
-    #   bsz 1024 ->  744M edges/s
-    #   bsz 2048 -> 1.44B edges/s
-    #   bsz 4096 -> 2.8-2.9B edges/s
-    #   bsz 8192 -> 3.4-5.7B edges/s   <- default (saturation point;
-    #   bsz 16384 -> 5.4B edges/s       16k measures the same)
-    # scatter backends: one-hot einsum vs XLA scatter-add — the MXU path
-    # wins on the SCM envelope at every size tried (bsz 4096: 2.78B vs
-    # 1.67B; bsz 8192: ~5.2B vs 3.78B; BENCH_SCATTER=segment re-measures)
-    # matmul precision at bsz 4096: forcing single-pass bfloat16 measured
-    # no better than default (BENCH_PRECISION to re-measure); short runs
-    # (ITERS<20) carry ~±30% relay/warmup noise — hence the default below
-    bsz = int(os.environ.get("BENCH_BSZ", "8192"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
-
-    prec = os.environ.get("BENCH_PRECISION")
-    if prec:
-        jax.config.update("jax_default_matmul_precision", prec)
     cfg = _flagship_config()
     sm = os.environ.get("BENCH_SCATTER")
     if sm:
         cfg = cfg.replace(scatter_method=sm)
     model = build_model(cfg)
     pattern, graph = _make_batch(bsz, 8, 8, 64, 256, 16, 16)
-
     counts = jnp.asarray(
-        np.random.default_rng(0).poisson(4.0, size=(bsz, 1)).astype(np.float32)
-    )
+        np.random.default_rng(0).poisson(4.0, size=(bsz, 1)).astype(np.float32))
     params = jax.jit(model.init)(jax.random.PRNGKey(0), pattern, graph)
     tx = optax.adamw(1e-3, weight_decay=1e-5)
     opt_state = tx.init(params)
@@ -70,28 +121,68 @@ def main():
         e_loss = jnp.mean(out["pred_e"] ** 2)
         return c_loss + 0.1 * (v_loss + e_loss)
 
-    import functools
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, pattern, graph, counts):
         loss, grads = jax.value_and_grad(loss_fn)(params, pattern, graph, counts)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    # warmup (compile)
-    for _ in range(3):
-        params, opt_state, loss = train_step(params, opt_state, pattern, graph, counts)
-    loss.block_until_ready()
+    compiled = jax.jit(train_step, donate_argnums=(0, 1)).lower(
+        params, opt_state, pattern, graph, counts).compile()
+    ca = compiled.cost_analysis() or {}
+    flops = float(ca.get("flops", float("nan")))
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, loss = train_step(params, opt_state, pattern, graph, counts)
-    loss.block_until_ready()
-    dt = time.perf_counter() - t0
+    def advance(state):
+        p, o, _loss = compiled(state[0], state[1], pattern, graph, counts)
+        return (p, o, _loss)
 
+    return advance, (params, opt_state, counts), flops
+
+
+def measure(bsz: int, iters: int):
+    advance, state0, flops = build_step(bsz)
+    dev_ms, host_ms = time_step(advance, state0, iters)
+    return dev_ms, host_ms, flops
+
+
+def main():
+    prec = os.environ.get("BENCH_PRECISION")
+    if prec:
+        import jax
+        jax.config.update("jax_default_matmul_precision", prec)
+
+    # tracing through the remote-dispatch relay is slow host-side (~80 s
+    # per traced step observed) — 5 iters is enough for a stable device
+    # number and keeps the run under ~15 min
+    bsz = int(os.environ.get("BENCH_BSZ", "2048"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    scale_check = os.environ.get("BENCH_SCALECHECK", "1") == "1"
+
+    dev_ms, host_ms, flops = measure(bsz, iters)
+    clock = "device_trace"
+    step_ms = dev_ms
+    if step_ms is None:      # no trace (CPU run) -> host clock fallback
+        clock = "host_blocked"
+        step_ms = host_ms
+
+    mfu = flops / (step_ms / 1e3) / PEAK_FLOPS
     # real (non-padded) edges per step: graph 256*2(rev) + pattern 8*2 per pair
     edges_per_step = bsz * (256 * 2 + 8 * 2)
-    eps = edges_per_step * iters / dt
+    eps = edges_per_step / (step_ms / 1e3)
+
+    err = None
+    if mfu > 1.0:
+        err = (f"IMPOSSIBLE: apparent MFU {mfu:.2f} > 1.0 "
+               f"({flops:.3e} FLOP in {step_ms:.3f} ms) — clock is lying")
+
+    scale_ratio = None
+    if scale_check and err is None and bsz >= 4:
+        small_dev, small_host, _ = measure(bsz // 4, max(iters // 2, 3))
+        small_ms = small_dev if clock == "device_trace" and small_dev else small_host
+        scale_ratio = step_ms / max(small_ms, 1e-9)
+        if scale_ratio < 1.5:
+            err = (f"SCALE CHECK FAILED: step({bsz})={step_ms:.2f} ms vs "
+                   f"step({bsz // 4})={small_ms:.2f} ms (ratio "
+                   f"{scale_ratio:.2f} < 1.5) — timing not tracking compute")
 
     vs = 1.0
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -100,15 +191,33 @@ def main():
         with open(base_path) as f:
             base = json.load(f)
         ref = base.get("scm_train_edges_per_sec")
-        if ref:
+        ref_bsz = base.get("bsz", bsz)
+        if ref and ref_bsz == bsz:
+            vs = eps / ref
+        elif ref:
+            # normalize: baseline is per-edge time at its own bsz; compare
+            # edges/s directly anyway (both are saturated-device numbers)
             vs = eps / ref
 
-    print(json.dumps({
+    out = {
         "metric": "scm_train_edges_per_sec",
         "value": round(eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(vs, 3),
-    }))
+        "bsz": bsz,
+        "step_ms": round(step_ms, 3),
+        "clock": clock,
+        "host_step_ms": round(host_ms, 3),
+        "flops_per_step": flops,
+        "mfu": round(mfu, 4),
+    }
+    if scale_ratio is not None:
+        out["scale_ratio_4x"] = round(scale_ratio, 2)
+    if err:
+        out["error"] = err
+    print(json.dumps(out))
+    if err:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -312,6 +312,14 @@ def batch_graphs(records: List[Dict[str, np.ndarray]]) -> GraphBatch:
 # =============================================================================
 
 def _bincount_batched(idx: jnp.ndarray, mask: jnp.ndarray, n: int) -> jnp.ndarray:
-    """[B, E] indices + mask -> [B, n] float32 counts (masked scatter-add)."""
+    """[B, E] indices + mask -> [B, n] float32 counts.
+
+    For small n a masked one-hot reduce (VPU/MXU-friendly, no scatter —
+    XLA's batched scatter measured ~7 ms for [2048,512]->[2048,64] on v5e);
+    scatter-add for large n.
+    """
     ones = mask.astype(jnp.float32)
+    if n <= 2048:
+        oh = jax.nn.one_hot(idx, n, dtype=jnp.float32)
+        return jnp.einsum("...ev,...e->...v", oh, ones)
     return jax.vmap(lambda i, w: jnp.zeros((n,), jnp.float32).at[i].add(w))(idx, ones)

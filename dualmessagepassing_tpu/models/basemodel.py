@@ -28,6 +28,7 @@ import flax.linen as nn
 
 from ..graph import GraphBatch
 from ..ops.encoding import get_enc_len
+from ..ops.scatter import gather_nodes, gather_scalars
 from .embed import Embedding, MultihotEncoder, PositionEncoder
 from .filter import scalar_filter
 from .pred import build_pred_net
@@ -187,12 +188,8 @@ class EncNet(nn.Module):
         if self.include_el:
             enc["el"] = self.el(graph.edge_label)
         if self.include_el and self.cfg.gnn_add_edge_id:
-            enc["src"] = jnp.take_along_axis(
-                enc["v"], graph.senders[..., None], axis=1
-            )
-            enc["dst"] = jnp.take_along_axis(
-                enc["v"], graph.receivers[..., None], axis=1
-            )
+            enc["src"] = gather_nodes(enc["v"], graph.senders)
+            enc["dst"] = gather_nodes(enc["v"], graph.receivers)
         return enc
 
 
@@ -375,7 +372,7 @@ class GraphAdjModelV2(nn.Module):
             p_e_add, g_e_add = [], []
             if cfg.pred_with_enc:
                 def egather(enc, idx):
-                    return jnp.take_along_axis(enc, idx[..., None], axis=1)
+                    return gather_nodes(enc, idx)
                 p_e_add += [
                     egather(p_enc["v"], pattern.senders),
                     egather(p_enc["v"], pattern.receivers),
@@ -392,7 +389,7 @@ class GraphAdjModelV2(nn.Module):
                 ]
             if cfg.pred_with_deg:
                 def dgather(deg, idx):
-                    return jnp.take_along_axis(deg, idx, axis=1)[..., None]
+                    return gather_scalars(deg, idx)[..., None]
                 p_e_add += [
                     dgather(p_out_deg, pattern.senders),
                     dgather(p_in_deg, pattern.receivers),

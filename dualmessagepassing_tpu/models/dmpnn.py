@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..graph import GraphBatch
-from ..ops.scatter import gather_nodes, scatter_sum_edges
+from ..ops.scatter import gather_nodes, gather_scalars, scatter_sum_edges
 from ..utils.act import map_activation_str_to_fn
 from ..utils.init import calculate_gain, scaled, xavier_uniform
 from .layers import UpdateMLP
@@ -84,16 +84,18 @@ class DMPLayer(nn.Module):
         rev = graph.rev_flag[..., None]  # [B, E, 1]
 
         # ---- hoisted matmuls (MXU) ------------------------------------------
-        hw_src = node_feat @ w_src    # [B, V, H]
-        hw_dst = node_feat @ w_dst    # [B, V, H]
+        # one fused [Din, 2H] product so each edge endpoint needs ONE gather
+        hw = node_feat @ jnp.concatenate([w_src, w_dst], axis=1)  # [B, V, 2H]
         ew_in = edge_feat @ w_in      # [B, E, H]
         ew_out = edge_feat @ w_out    # [B, E, H]
 
         # ---- per-edge messages (gather + select) ----------------------------
-        src_wsrc = gather_nodes(hw_src, senders)
-        src_wdst = gather_nodes(hw_dst, senders)
-        dst_wsrc = gather_nodes(hw_src, receivers)
-        dst_wdst = gather_nodes(hw_dst, receivers)
+        # gathers share the scatter backend choice: the one-hot/MXU form has
+        # a matmul transpose, keeping the backward scatter-free (scatter.py)
+        src_w = gather_nodes(hw, senders, method=self.scatter_method)
+        dst_w = gather_nodes(hw, receivers, method=self.scatter_method)
+        src_wsrc, src_wdst = src_w[..., :h], src_w[..., h:]
+        dst_wsrc, dst_wdst = dst_w[..., :h], dst_w[..., h:]
 
         edge_msg = jnp.where(rev, src_wdst - dst_wsrc, dst_wdst - src_wsrc)
         node_msg = jnp.where(rev, ew_out, -ew_in)
@@ -117,7 +119,8 @@ class DMPLayer(nn.Module):
 
         # ---- edge update ----------------------------------------------------
         out_deg = graph.out_degrees()                         # [B, V]
-        d = jnp.take_along_axis(out_deg, receivers, axis=1)   # outdeg at dst
+        d = gather_scalars(out_deg, receivers,
+                           method=self.scatter_method)        # outdeg at dst
         d = jnp.log2(1.0 + d)[..., None]
         add = 2.0 * (1.0 + d) * (edge_feat @ (w_src - w_dst))
         e_out = edge_feat @ w_eloop + add + edge_msg

@@ -51,6 +51,10 @@ class MaskedBatchNorm(nn.Module):
 
     momentum: float = 0.9  # decay of the running average (1 - torch momentum)
     epsilon: float = 1e-5
+    # psum partial sums/counts over this shard_map axis so statistics are
+    # global when rows are sharded (edge partitioning). Also correct for
+    # replicated rows: the shard factor cancels in sum/count ratios.
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
@@ -61,17 +65,22 @@ class MaskedBatchNorm(nn.Module):
         gamma = self.param("scale", nn.initializers.ones, (features,))
         beta = self.param("bias", nn.initializers.zeros, (features,))
 
+        def _psum(v):
+            return jax.lax.psum(v, self.axis_name) if self.axis_name else v
+
         if train:
             if mask is None:
-                cnt = jnp.asarray(x[..., 0].size, x.dtype)
-                mean = jnp.mean(x, axis=tuple(range(x.ndim - 1)))
-                var = jnp.mean((x - mean) ** 2, axis=tuple(range(x.ndim - 1)))
+                cnt = _psum(jnp.asarray(x[..., 0].size, x.dtype))
+                mean = _psum(jnp.sum(x, axis=tuple(range(x.ndim - 1)))) / cnt
+                var = _psum(jnp.sum((x - mean) ** 2,
+                                    axis=tuple(range(x.ndim - 1)))) / cnt
             else:
                 m = mask.astype(x.dtype)[..., None]
-                cnt = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(x * m, axis=tuple(range(x.ndim - 1))) / cnt
+                cnt = jnp.maximum(_psum(jnp.sum(m)), 1.0)
+                mean = _psum(jnp.sum(x * m, axis=tuple(range(x.ndim - 1)))) / cnt
                 var = (
-                    jnp.sum(((x - mean) ** 2) * m, axis=tuple(range(x.ndim - 1))) / cnt
+                    _psum(jnp.sum(((x - mean) ** 2) * m,
+                                  axis=tuple(range(x.ndim - 1)))) / cnt
                 )
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..graph import GraphBatch
-from ..ops.scatter import scatter_sum_edges
+from ..ops.scatter import gather_nodes, scatter_sum_edges
 from ..utils.act import map_activation_str_to_fn
 from ..utils.init import calculate_gain, xavier_uniform
 from .basemodel import GraphAdjModel
@@ -51,7 +51,7 @@ def _relation_scan_agg(
     """sum_r segment_sum(onehot_rel * src) @ W_r via lax.scan."""
     b, v, d = node_feat.shape
     senders, receivers = graph.senders, graph.receivers
-    src = jnp.take_along_axis(node_feat, senders[..., None], axis=1)  # [B,E,D]
+    src = gather_nodes(node_feat, senders)   # [B,E,D]; matmul-transposed bwd
 
     def body(carry, wr_and_r):
         wr, r = wr_and_r

@@ -35,12 +35,44 @@ Array = jnp.ndarray
 _DENSE_V_LIMIT = 2048
 
 
-def gather_nodes(node_feat: Array, idx: Array) -> Array:
+def gather_nodes(node_feat: Array, idx: Array,
+                 method: Optional[str] = None) -> Array:
     """Gather node rows per edge.
 
     node_feat: [B, V, H]; idx: [B, E] -> [B, E, H].
+
+    ``onehot`` (auto-selected for V <= _DENSE_V_LIMIT) expresses the gather
+    as `one_hot(idx) @ node_feat` — a batched matmul on the MXU whose
+    TRANSPOSE is also a matmul.  The ``take`` path's transpose is an XLA
+    scatter, which device traces show costs ~14 ms per [2048x512 -> 2048x64]
+    backward scatter on v5e (~35x over the HBM roofline); the one-hot form
+    removes every scatter from the hot fwd+bwd path.  ``take`` remains for
+    large V where O(E*V*H) FLOPs are unaffordable.
     """
-    return jnp.take_along_axis(node_feat, idx[..., None], axis=1)
+    v = node_feat.shape[-2]
+    if method is None:
+        method = "onehot" if v <= _DENSE_V_LIMIT else "take"
+    if method == "onehot":
+        oh = jax.nn.one_hot(idx, v, dtype=node_feat.dtype)
+        return jnp.einsum("...ev,...vh->...eh", oh, node_feat)
+    # "take" (and the scatter backend name "segment", accepted as an alias
+    # so layers can share one method flag)
+    return jnp.take_along_axis(node_feat, idx[..., None], axis=-2)
+
+
+def gather_scalars(table: Array, idx: Array,
+                   method: Optional[str] = None) -> Array:
+    """Gather per-node scalars per edge: table [B, V]; idx [B, E] -> [B, E].
+
+    Same onehot-vs-take tradeoff as gather_nodes.
+    """
+    v = table.shape[-1]
+    if method is None:
+        method = "onehot" if v <= _DENSE_V_LIMIT else "take"
+    if method == "onehot":
+        oh = jax.nn.one_hot(idx, v, dtype=table.dtype)
+        return jnp.einsum("...ev,...v->...e", oh, table)
+    return jnp.take_along_axis(table, idx, axis=-1)
 
 
 def scatter_sum_edges(

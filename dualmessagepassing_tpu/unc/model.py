@@ -47,6 +47,7 @@ class UpdateMLP2(nn.Module):
 
     hidden_dim: int
     batch_norm: bool = True
+    ep_axis: Optional[str] = None   # shard_map axis for global BN statistics
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
@@ -57,7 +58,8 @@ class UpdateMLP2(nn.Module):
         b1 = self.param("fc1_bias", nn.initializers.zeros, (h,))
         y = x @ w0 + b0
         if self.batch_norm:
-            y = MaskedBatchNorm(name="bn")(y, mask=mask, train=train)
+            y = MaskedBatchNorm(name="bn", axis_name=self.ep_axis)(
+                y, mask=mask, train=train)
         y = jax.nn.leaky_relu(y, LEAKY_RELU_A)
         return y @ w1 + b1
 
@@ -73,6 +75,11 @@ class DualGraphConv(nn.Module):
     activation: Optional[str] = None  # None | "tanh"
     dropout: float = 0.0  # kept for config parity; see module docstring
     sorted_edges: bool = False  # receivers non-decreasing (pad_subgraph sorts)
+    # Edge-partitioned mode (SURVEY §2.4): edge arrays arrive sharded over
+    # this shard_map axis; node features are replicated.  The only
+    # collectives are one psum completing the node aggregation and one for
+    # out-degrees (+ BN statistic psums when batch_norm).
+    ep_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, sub: Dict[str, jnp.ndarray], node_feat, edge_feat,
@@ -110,21 +117,27 @@ class DualGraphConv(nn.Module):
         node_msg = jnp.where(e_mask[:, None], node_msg, 0.0)
         agg = jnp.zeros((v, h), node_msg.dtype).at[receivers].add(
             node_msg, indices_are_sorted=self.sorted_edges)
+        if self.ep_axis:
+            agg = jax.lax.psum(agg, self.ep_axis)
 
         n_out = node_feat @ w_nloop + agg
         if self.use_bias:
             n_out = n_out + b_n
-        n_out = UpdateMLP2(h, self.batch_norm, name="nmlp")(
+        n_out = UpdateMLP2(h, self.batch_norm, ep_axis=self.ep_axis,
+                           name="nmlp")(
             n_out, mask=sub["node_mask"], train=train)
 
         out_deg = jnp.zeros((v,), jnp.float32).at[senders].add(
             e_mask.astype(jnp.float32))
+        if self.ep_axis:
+            out_deg = jax.lax.psum(out_deg, self.ep_axis)
         d = jnp.log2(1.0 + out_deg)[receivers][:, None]
         add = 2.0 * (1.0 + d) * (edge_feat @ (w_src - w_dst))
         e_out = edge_feat @ w_eloop + edge_msg + add
         if self.use_bias:
             e_out = e_out + b_e
-        e_out = UpdateMLP2(h, self.batch_norm, name="emlp")(
+        e_out = UpdateMLP2(h, self.batch_norm, ep_axis=self.ep_axis,
+                           name="emlp")(
             e_out, mask=e_mask, train=train)
 
         if self.activation == "tanh":
@@ -146,6 +159,7 @@ class UNCDMPNN(nn.Module):
     node_attri: Optional[Any] = None  # frozen [N, A] attributes
     multihot_input: bool = False
     sorted_edges: bool = False
+    ep_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, sub, train: bool = False):
@@ -157,15 +171,20 @@ class UNCDMPNN(nn.Module):
             h, z = DualGraphConv(
                 hidden_dim=self.out_dim, activation=act,
                 dropout=self.dropout, sorted_edges=self.sorted_edges,
+                ep_axis=self.ep_axis,
                 name=f"layer_{i}",
             )(sub, h, z, edge_norm=norm, train=train)
 
-        # per-relation mean of final edge outputs (model.py:319-325)
+        # per-relation mean of final edge outputs (model.py:319-325);
+        # sharded edge rows -> psum partial sums/counts over 'ep'
         et = sub["edge_type"]
         em = sub["edge_mask"].astype(jnp.float32)[:, None]
         onehot = jax.nn.one_hot(et, self.num_rels, dtype=z.dtype) * em
         sums = onehot.T @ z                       # [R, H]
         cnts = onehot.sum(axis=0)[:, None]
+        if self.ep_axis:
+            sums = jax.lax.psum(sums, self.ep_axis)
+            cnts = jax.lax.psum(cnts, self.ep_axis)
         r_bar = sums / (cnts + 1e-8)
         return h, z, r_bar
 
@@ -190,6 +209,7 @@ class CompGraphConv(nn.Module):
     activation: Optional[str] = None
     dropout: float = 0.0
     sorted_edges: bool = False
+    ep_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, sub, node_feat, edge_feat, edge_norm=None,
@@ -216,6 +236,8 @@ class CompGraphConv(nn.Module):
         msg = jnp.where(sub["edge_mask"][:, None], msg, 0.0)
         agg = jnp.zeros((v, h), msg.dtype).at[sub["receivers"]].add(
             msg, indices_are_sorted=self.sorted_edges)
+        if self.ep_axis:
+            agg = jax.lax.psum(agg, self.ep_axis)
 
         if self.self_loop:
             out = (agg + comp_func(node_feat, loop_rel, self.comp_opt)
@@ -225,8 +247,8 @@ class CompGraphConv(nn.Module):
         if self.use_bias:
             out = out + bias
         if self.batch_norm:
-            out = MaskedBatchNorm(name="bn")(out, mask=sub["node_mask"],
-                                             train=train)
+            out = MaskedBatchNorm(name="bn", axis_name=self.ep_axis)(
+                out, mask=sub["node_mask"], train=train)
         if self.activation == "tanh":
             out = jnp.tanh(out)
         out = nn.Dropout(self.dropout, name="drop")(out,
@@ -234,9 +256,11 @@ class CompGraphConv(nn.Module):
         return out, edge_feat @ w_rel
 
 
-def _flat_relation_agg(sub, src_feat_e, weights, sorted_edges=False):
+def _flat_relation_agg(sub, src_feat_e, weights, sorted_edges=False,
+                       ep_axis=None):
     """agg[v] = sum_e->v src_feat_e @ W[rel(e)] via a scan over relations
-    (same MXU-friendly scheme as models/rgnn.py)."""
+    (same MXU-friendly scheme as models/rgnn.py). Under edge partitioning
+    the partial sums are completed by ONE psum after the scan."""
     v = sub["node_mask"].shape[0]
     num_rels = weights.shape[0]
 
@@ -251,6 +275,8 @@ def _flat_relation_agg(sub, src_feat_e, weights, sorted_edges=False):
 
     init = jnp.zeros((v, weights.shape[2]), src_feat_e.dtype)
     agg, _ = jax.lax.scan(body, init, (weights, jnp.arange(num_rels)))
+    if ep_axis:
+        agg = jax.lax.psum(agg, ep_axis)
     return agg
 
 
@@ -269,6 +295,7 @@ class RelGraphConvFlat(nn.Module):
     iso_layer: bool = False   # RelGraphIso: extra Linear + act + dropout
     dropout: float = 0.0
     sorted_edges: bool = False
+    ep_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, sub, node_feat, edge_norm=None, train: bool = False):
@@ -279,7 +306,8 @@ class RelGraphConvFlat(nn.Module):
         if self.use_norm and edge_norm is not None:
             src = src * edge_norm
         out = _flat_relation_agg(sub, src, weights,
-                                 sorted_edges=self.sorted_edges)
+                                 sorted_edges=self.sorted_edges,
+                                 ep_axis=self.ep_axis)
         if self.self_loop:
             out = out + node_feat @ self.param("loop_weight", _xavier(),
                                                (din, h))
@@ -317,6 +345,7 @@ class UNCCompGCN(nn.Module):
     node_attri: Optional[Any] = None
     multihot_input: bool = False
     sorted_edges: bool = False
+    ep_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, sub, train: bool = False):
@@ -327,6 +356,7 @@ class UNCCompGCN(nn.Module):
             h, z = CompGraphConv(
                 hidden_dim=self.out_dim, comp_opt="corr", activation=act,
                 dropout=self.dropout, sorted_edges=self.sorted_edges,
+                ep_axis=self.ep_axis,
                 name=f"layer_{i}",
             )(sub, h, z, edge_norm=norm, train=train)
         return h, z
@@ -346,6 +376,7 @@ class UNCRGNN(nn.Module):
     node_attri: Optional[Any] = None
     multihot_input: bool = False
     sorted_edges: bool = False
+    ep_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, sub, train: bool = False):
@@ -359,6 +390,7 @@ class UNCRGNN(nn.Module):
                 use_norm=(self.kind == "rgcn"),
                 iso_layer=(self.kind == "rgin"),
                 sorted_edges=self.sorted_edges,
+                ep_axis=self.ep_axis,
                 name=f"layer_{i}",
             )(sub, h, edge_norm=norm, train=train)
         return (h,)
@@ -422,7 +454,16 @@ class UNCTrainModel(nn.Module):
     # fused unsorted graph. The isolated-op 1.38x win (ops/scatter.py)
     # does not transfer. Default stays False; the plumbing and the sorted
     # layout are kept for future lowerings.
+    # NOTE round 2: that comparison used the relay's host clock, shown
+    # untrustworthy (CLAUDE.md); re-verify with the device trace before
+    # relying on it.
     sorted_edges: bool = False
+    # Edge-partitioned execution (SURVEY §2.4): set to the shard_map axis
+    # name when the model runs with edge arrays sharded across devices
+    # (parallel/ep_unc.py). Node features stay replicated; every partial
+    # edge-reduction (aggregation, degrees, BN stats, per-relation means,
+    # edge-stream regularizer sums) is completed with a psum over this axis.
+    ep_axis: Optional[str] = None
 
     def setup(self):
         i_dim = (self.h_dim if self.node_attri is None
@@ -432,7 +473,8 @@ class UNCTrainModel(nn.Module):
                   num_hidden_layers=self.num_hidden_layers,
                   dropout=self.dropout, node_attri=self.node_attri,
                   multihot_input=self.multihot_input,
-                  sorted_edges=self.sorted_edges)
+                  sorted_edges=self.sorted_edges,
+                  ep_axis=self.ep_axis)
         if self.backbone == "DMPNN":
             self.model = UNCDMPNN(**kw)
         elif self.backbone == "CompGCN":
@@ -475,9 +517,12 @@ class UNCTrainModel(nn.Module):
         unpadded, so our means run over mask-valid rows only; masks are
         matched to each stream by leading-axis length (h -> node_mask,
         z -> edge_mask, r_bar -> none)."""
-        reg = jnp.mean(self.w_relation ** 2)
+        reg = jnp.mean(self.w_relation ** 2)  # replicated params: no psum
         if not isinstance(embedding, (tuple, list)):
             embedding = (embedding,)
+
+        def _psum(v):
+            return jax.lax.psum(v, self.ep_axis) if self.ep_axis else v
 
         def mask_for(emb):
             if edge_mask is not None and emb.shape[0] == edge_mask.shape[0]:
@@ -486,8 +531,10 @@ class UNCTrainModel(nn.Module):
                 return node_mask
             return None
 
+        # psum-both-numerator-and-denominator is correct for sharded edge
+        # streams AND replicated node/relation streams (factor cancels)
         for emb in embedding:
-            reg = reg + _masked_mean_sq(emb, mask_for(emb))
+            reg = reg + _masked_mean_sq(emb, mask_for(emb), psum=_psum)
         if edge_type is not None:
             for emb in embedding:
                 if emb.shape[0] != edge_type.shape[0]:
@@ -498,8 +545,8 @@ class UNCTrainModel(nn.Module):
                 diff = self.edge_fc(emb) - self.w_relation[
                     jnp.minimum(edge_type, self.num_rels - 1)]
                 sq = jnp.sum(diff ** 2, axis=1)
-                cnt = jnp.maximum(jnp.sum(mask), 1)
-                reg = reg + jnp.sum(jnp.where(mask, sq, 0.0)) / (
+                cnt = jnp.maximum(_psum(jnp.sum(mask)), 1)
+                reg = reg + _psum(jnp.sum(jnp.where(mask, sq, 0.0))) / (
                     cnt * self.h_dim)
         return reg
 
@@ -558,11 +605,13 @@ def init_unc_variables(model: "UNCTrainModel", key, sub):
     return jax.jit(lambda k, s: model.init(k, s, method=full))(key, sub)
 
 
-def _masked_mean_sq(x, mask):
+def _masked_mean_sq(x, mask, psum=lambda v: v):
     if mask is None:
-        return jnp.mean(x ** 2)
+        return psum(jnp.sum(x ** 2)) / jnp.maximum(
+            psum(jnp.asarray(float(x.size))), 1.0)
     m = mask.astype(x.dtype)[:, None]
-    return jnp.sum((x ** 2) * m) / jnp.maximum(m.sum() * x.shape[-1], 1.0)
+    return psum(jnp.sum((x ** 2) * m)) / jnp.maximum(
+        psum(m.sum() * x.shape[-1]), 1.0)
 
 
 def optax_sigmoid_bce(logits, labels):

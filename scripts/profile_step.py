@@ -21,26 +21,31 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def device_time_from_xplane(logdir: str):
-    """Sum per-line event durations on the device plane(s) of the newest
-    xplane.pb under logdir. Returns {plane_name: {line_name: total_us}}."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+def device_lanes(logdir: str):
+    """Per-lane totals from the newest Chrome trace (*.trace.json.gz) under
+    logdir: {(pid, lane_name): (total_us, n_events)}. (The xplane.pb proto
+    bindings are not importable in this image; the Chrome trace carries the
+    same lane structure.)"""
+    import gzip
+    import json as _json
 
-    paths = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+    paths = sorted(glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
                              recursive=True))
     if not paths:
-        raise FileNotFoundError(f"no xplane.pb under {logdir}")
-    xspace = xplane_pb2.XSpace()
-    with open(paths[-1], "rb") as f:
-        xspace.ParseFromString(f.read())
+        raise FileNotFoundError(f"no trace.json.gz under {logdir}")
+    data = _json.load(gzip.open(paths[-1]))
+    evs = data.get("traceEvents", [])
+    names = {}
+    for e in evs:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            names[(e["pid"], e["tid"])] = e["args"].get("name", "")
     out = {}
-    for plane in xspace.planes:
-        lines = {}
-        for line in plane.lines:
-            dur = sum(ev.duration_ps for ev in line.events) / 1e6  # ps->us
-            n = len(line.events)
-            lines[line.name or str(line.id)] = (dur, n)
-        out[plane.name] = lines
+    for e in evs:
+        if e.get("ph") != "X":
+            continue
+        key = (e["pid"], names.get((e["pid"], e.get("tid")), ""))
+        us, n = out.get(key, (0.0, 0))
+        out[key] = (us + e.get("dur", 0.0), n + 1)
     return out
 
 
@@ -92,15 +97,10 @@ def main(bsz=2048, iters=5):
           f"({wall/iters*1e3:.2f} ms/step host clock) flops/step={flops:.3e}",
           flush=True)
 
-    planes = device_time_from_xplane(logdir)
-    for pname, lines in planes.items():
-        keep = {k: v for k, v in lines.items() if v[0] > 0}
-        if not keep:
-            continue
-        print(f"plane: {pname}")
-        for lname, (us, n) in sorted(keep.items(), key=lambda kv: -kv[1][0]):
-            print(f"  {lname:40s} {us/1e3:10.3f} ms total  {n:6d} events  "
-                  f"-> {us/1e3/iters:8.3f} ms/step", flush=True)
+    for (pid, lane), (us, n) in sorted(device_lanes(logdir).items(),
+                                       key=lambda kv: -kv[1][0]):
+        print(f"  pid {pid} {lane:24s} {us/1e3:10.3f} ms total  {n:6d} events"
+              f"  -> {us/1e3/iters:8.3f} ms/step", flush=True)
 
 
 if __name__ == "__main__":
