@@ -41,6 +41,9 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--gpu", type=int, default=-1,
                    help="accepted for reference compatibility; unused")
+    p.add_argument("--ep_devices", type=int, default=0,
+                   help="edge-partition the model over the first N devices "
+                        "(0 = single-device); unsupervised mode only")
     return p.parse_args(argv)
 
 
@@ -97,7 +100,8 @@ def main(argv=None):
             sample_depth=args.sample_depth, sample_width=args.sample_width,
             n_epochs=args.n_epochs, grad_norm=args.grad_norm,
             backbone=args.model, seed_nodes=seed_nodes or None,
-            node_attri=attrs, seed=args.seed, log=log)
+            node_attri=attrs, seed=args.seed,
+            ep_devices=args.ep_devices or None, log=log)
 
     log("start output...")
     header = str(vars(args))

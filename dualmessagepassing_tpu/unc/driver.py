@@ -290,6 +290,7 @@ def train_unc(
     e_max: Optional[int] = None,
     seed: int = 0,
     prefetch: int = 2,
+    ep_devices: Optional[int] = None,
     log: Callable[[str], None] = print,
 ):
     """Full UNC pipeline -> (node_embeddings [N, h], coverage fraction).
@@ -298,6 +299,11 @@ def train_unc(
     coverage-weighted moving-average embedding export:
         emb[nid] = emb[nid] * (1 - c) + h * c,
         c = (subdeg + 1) / (deg + 1)             (main.py:196-209)
+
+    `ep_devices=N` runs the REAL model edge-partitioned over the first N
+    devices (parallel/ep_unc.py): edge/dual-node state sharded over an
+    'ep' mesh axis, node state replicated, per-layer psum aggregation —
+    numerically equivalent to single-device (tests/test_ep_unc.py).
     """
     rng = np.random.default_rng(seed)
     graph = WholeGraph(num_nodes, num_rels, triplets)
@@ -320,10 +326,29 @@ def train_unc(
         e_max = min(v_max * sample_width, graph.num_edges)
     s_max = graph_batch_size * (1 + negative_rate)
 
-    model = UNCTrainModel(
+    ep_mesh = None
+    if ep_devices:
+        from jax.sharding import Mesh
+
+        from ..parallel.ep_unc import (make_ep_apply, make_ep_train_step,
+                                       pad_e_max, shard_sub)
+
+        e_max = pad_e_max(e_max, ep_devices)
+        ep_mesh = Mesh(np.asarray(jax.devices()[:ep_devices]), ("ep",))
+
+    mkw = dict(
         num_nodes=num_nodes, num_rels=num_rels, h_dim=h_dim,
         nlabel=0, num_hidden_layers=n_layers, dropout=dropout,
         reg_param=reg_param, node_attri=node_attri, backbone=backbone)
+    model = UNCTrainModel(ep_axis="ep" if ep_mesh is not None else None,
+                          **mkw)
+    # init outside shard_map: an ep_axis-free twin has identical params
+    init_model = UNCTrainModel(**mkw) if ep_mesh is not None else model
+
+    def to_device(padded):
+        if ep_mesh is not None:
+            return shard_sub(ep_mesh, padded)
+        return {k: jnp.asarray(v) for k, v in padded.items()}
 
     n_batches = math.ceil(len(train_edges) / graph_batch_size)
     total_steps = n_epochs * n_batches
@@ -340,15 +365,19 @@ def train_unc(
                          negative_rate, v_max, e_max, s_max, rng)
     first_dev = {k: jnp.asarray(v) for k, v in first.items()}
     log("initializing parameters (jit)...")
-    variables = init_unc_variables(model, jax.random.PRNGKey(seed), first_dev)
+    variables = init_unc_variables(init_model, jax.random.PRNGKey(seed),
+                                   first_dev)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
-    step = make_unc_train_step(model, tx)
+    if ep_mesh is not None:
+        step = make_ep_train_step(model, tx, ep_mesh)
+    else:
+        step = make_unc_train_step(model, tx)
     # AOT-compile before the sampler threads start: remote-dispatch
     # backends wedge when jit compilation races live worker threads
     log("compiling train step (AOT)...")
-    step.lower(params, opt_state, batch_stats, first_dev,
+    step.lower(params, opt_state, batch_stats, to_device(first),
                jax.random.PRNGKey(seed)).compile()
     log("compile done; training...")
 
@@ -384,7 +413,7 @@ def train_unc(
                 nxt = i + window
                 if nxt < len(batch_list):
                     futures[nxt] = submit(nxt)
-                sub = {k: jnp.asarray(v) for k, v in sub.items()}
+                sub = to_device(sub)
                 step_key = jax.random.fold_in(jax.random.PRNGKey(seed), k_step)
                 k_step += 1
                 params, opt_state, batch_stats, loss = step(
@@ -405,7 +434,13 @@ def train_unc(
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
-    embed_step = make_unc_embed_step(model)
+    if ep_mesh is not None:
+        ep_fwd = make_ep_apply(model, ep_mesh)
+
+        def embed_step(vs, sub):
+            return ep_fwd(vs, sub)[0][0]
+    else:
+        embed_step = make_unc_embed_step(model)
     if node_attri is not None:
         node_emb = np.asarray(node_attri, np.float32).copy()
         if node_emb.shape[1] != h_dim:
@@ -417,8 +452,7 @@ def train_unc(
         subp = sample_batch(graph, edges, sampler, sample_depth, sample_width,
                             graph_split_size, negative_rate, v_max, e_max,
                             graph_batch_size * 4 * (1 + negative_rate), rng)
-        h = np.asarray(embed_step(variables,
-                                  {k: jnp.asarray(v) for k, v in subp.items()}))
+        h = np.asarray(embed_step(variables, to_device(subp)))
         nm = subp["node_mask"]
         nid = subp["nid"][nm]
         sub_in_deg = np.bincount(subp["receivers"][subp["edge_mask"]],
