@@ -1,10 +1,13 @@
-"""Full capability grid: every rep net x every pred net forwards finitely.
+"""Full capability grid: every rep net x every pred net trains one step.
 
 SURVEY.md appendix line 1 claims 9 rep nets x 10 pred nets
-(reference config.py:225-432). This proves the whole cross-product
-builds, initializes, and produces finite counts. Gated behind
-FULL_GRID=1 because 90 fresh traces cost several minutes; the default
-suite keeps per-family coverage (test_rep_nets / test_edgeseq /
+(reference config.py:225-432). For each combo this proves: (a) the model
+builds, initializes, and produces finite counts; (b) one gradient of the
+combined count+matching loss is finite everywhere and NOT identically
+zero in any rep/pred parameter subtree (catches dead weight heads and
+NaN backwards); (c) one AdamW step leaves the loss finite. Gated behind
+FULL_GRID=1 because 90 fwd+bwd+step traces cost several minutes; the
+default suite keeps per-family coverage (test_rep_nets / test_edgeseq /
 test_lrp / test_pred_attn).
 
 Run with:  FULL_GRID=1 python -m pytest tests/test_full_grid.py -q
@@ -13,7 +16,9 @@ Run with:  FULL_GRID=1 python -m pytest tests/test_full_grid.py -q
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+import optax
 import pytest
 
 from dualmessagepassing_tpu import ModelConfig, build_model
@@ -50,6 +55,37 @@ def _check(model, pattern, graph):
     out = model.apply(params, pattern, graph)
     assert out["pred_c"].shape[-1] == 1
     assert np.all(np.isfinite(np.asarray(out["pred_c"])))
+
+    # gradient of count + matching-head losses (train.py:625-661 shape)
+    def loss_fn(p):
+        o = model.apply(p, pattern, graph)
+        loss = jnp.mean((o["pred_c"] - 1.0) ** 2)
+        for k in ("pred_v", "pred_e"):
+            if o.get(k) is not None:
+                loss = loss + 0.1 * jnp.mean((o[k] - 0.5) ** 2)
+        return loss
+
+    # Two AdamW steps: the final pred layers are zero-init (reference
+    # pred.py:50), so the step-1 gradient stops at them by construction;
+    # after they move, the step-2 gradient must reach every rep/pred
+    # subtree (catches dead heads and NaN backwards).
+    tx = optax.adamw(1e-2, weight_decay=1e-5)
+    opt_state = tx.init(params)
+    p = params
+    for _ in range(2):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        assert np.isfinite(float(loss))
+        assert all(np.all(np.isfinite(np.asarray(g)))
+                   for g in jax.tree.leaves(grads)), "non-finite gradient"
+        updates, opt_state = tx.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+    tree = grads["params"] if "params" in grads else grads
+    for name, sub in tree.items():
+        if "rep" in name or "pred" in name:
+            total = sum(float(jnp.sum(jnp.abs(g)))
+                        for g in jax.tree.leaves(sub))
+            assert total > 0, f"identically-zero gradient subtree: {name}"
+    assert np.isfinite(float(loss_fn(p)))
 
 
 @pytest.mark.parametrize("rep_net", GRAPH_REPS)
