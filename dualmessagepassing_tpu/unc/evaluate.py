@@ -94,17 +94,9 @@ def load_emb_dict(path: str) -> Dict[str, np.ndarray]:
     return emb
 
 
-def unsupervised_single_label_nc(label_path, label_test_path, emb_dict):
-    """5-fold CV on merged labels (node_classification.py:61-84)."""
+def _single_label_cv(embs: np.ndarray, labels: np.ndarray):
+    """5-fold StratifiedKFold LinearSVC -> (macro_f1, micro_f1)."""
     LinearSVC, f1_score, _, _, StratifiedKFold = _svc_imports()
-    labels, embs = [], []
-    for p in (label_path, label_test_path):
-        ids, labs = _read_label_file(p)
-        for i, l in zip(ids, labs):
-            labels.append(int(l))
-            embs.append(emb_dict[i])
-    labels = np.asarray(labels)
-    embs = np.asarray(embs)
     macro, micro = [], []
     skf = StratifiedKFold(n_splits=5, shuffle=True, random_state=seed)
     for tr, te in skf.split(embs, labels):
@@ -116,6 +108,25 @@ def unsupervised_single_label_nc(label_path, label_test_path, emb_dict):
         macro.append(f1_score(labels[te], preds, average="macro"))
         micro.append(f1_score(labels[te], preds, average="micro"))
     return float(np.mean(macro)), float(np.mean(micro))
+
+
+def unsupervised_single_label_nc(label_path, label_test_path, emb_dict):
+    """5-fold CV on merged labels (node_classification.py:61-84)."""
+    labels, embs = [], []
+    for p in (label_path, label_test_path):
+        ids, labs = _read_label_file(p)
+        for i, l in zip(ids, labs):
+            labels.append(int(l))
+            embs.append(emb_dict[i])
+    return _single_label_cv(np.asarray(embs), np.asarray(labels))
+
+
+def nc_evaluate_arrays(embs: np.ndarray, node_ids: np.ndarray,
+                       labels: np.ndarray):
+    """Array-facing unsupervised nc protocol: same 5-fold LinearSVC CV as
+    unsupervised_single_label_nc, for embeddings already in memory."""
+    return _single_label_cv(np.asarray(embs)[np.asarray(node_ids)],
+                            np.asarray(labels))
 
 
 def semisupervised_single_label_nc(label_path, label_test_path, emb_dict):

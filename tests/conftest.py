@@ -24,6 +24,12 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "regression: pinned-metric regression tests (test_regression.py)")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
