@@ -188,6 +188,102 @@ def record_to_edgeseq(rec: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     }
 
 
+def edgeseq_add_tuples(rec: Dict[str, np.ndarray],
+                       tuples: np.ndarray) -> Dict[str, np.ndarray]:
+    """Order-preserving tuple insertion (reference EdgeSeq.add_tuple/
+    add_tuples, dataset.py:352-445): new (u, v, ul, el, vl) rows are merged
+    into the lexicographic (u, v, el) order, inserted before existing rows
+    with equal keys (bisect_left). Among several new tuples with equal keys
+    the reference's one-at-a-time bisect_left reverses their order — a
+    quirk not reproduced; they keep argument order here. Grows the padded
+    envelope when the new tuples overflow it. Host-side numpy.
+    """
+    tuples = np.asarray(tuples)
+    if tuples.ndim == 1:
+        tuples = tuples[None]
+    m = rec["mask"].astype(bool)
+    n_old, n_new = int(m.sum()), len(tuples)
+    n = n_old + n_new
+    e_max = max(len(m), n)
+    u = np.concatenate([tuples[:, 0], rec["u"][m]])
+    v = np.concatenate([tuples[:, 1], rec["v"][m]])
+    ul = np.concatenate([tuples[:, 2], rec["ul"][m]])
+    el = np.concatenate([tuples[:, 3], rec["el"][m]])
+    vl = np.concatenate([tuples[:, 4], rec["vl"][m]])
+    rev = np.concatenate([np.zeros(n_new, rec["rev_flag"].dtype),
+                          rec["rev_flag"][m]])
+    # stable sort with new rows listed first -> new-before-equal-existing
+    order = np.lexsort((el, v, u))
+
+    def pad(x, dtype=None):
+        out = np.zeros((e_max,), dtype or x.dtype)
+        out[:n] = x[order]
+        return out
+
+    return {
+        "u": pad(u), "v": pad(v), "ul": pad(ul), "el": pad(el),
+        "vl": pad(vl), "rev_flag": pad(rev),
+        "mask": np.arange(e_max) < n,
+        "n_tuple": np.int32(n),
+        "num_nodes": max(int(rec["num_nodes"]),
+                         int(max(u.max(), v.max())) + 1 if n else 0),
+    }
+
+
+def edgeseq_to_graph(rec: Dict[str, np.ndarray],
+                     v_max: Optional[int] = None,
+                     e_max: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """EdgeSeq record -> graph record (reference EdgeSeq.to_graph,
+    dataset.py:560-591): nodes are the distinct ids appearing in tuples
+    (u's first, then v's — insertion order), compacted to 0..V-1; labels
+    from ul/vl; "key" numbers repeated (u, v) multi-edges by occurrence.
+    Returns a padded graph record plus "node_id" (original ids) and
+    "edge_key".
+    """
+    m = rec["mask"].astype(bool)
+    u, v = rec["u"][m], rec["v"][m]
+    ul, vl = rec["ul"][m], rec["vl"][m]
+    el = rec["el"][m]
+    nid2label: Dict[int, int] = {}
+    for a, la in zip(u, ul):
+        nid2label.setdefault(int(a), int(la))
+    for b, lb in zip(v, vl):
+        nid2label.setdefault(int(b), int(lb))
+    node_ids = np.asarray(list(nid2label.keys()), np.int64)
+    node_labels = np.asarray(list(nid2label.values()), np.int64)
+    remap = {int(x): i for i, x in enumerate(node_ids)}
+    senders = np.asarray([remap[int(x)] for x in u], np.int64)
+    receivers = np.asarray([remap[int(x)] for x in v], np.int64)
+    # occurrence index among consecutive equal (u, v) rows
+    # (to_graph's roll-and-accumulate, dataset.py:579-585)
+    key = np.zeros(len(u), np.int64)
+    for i in range(1, len(u)):
+        if u[i] == u[i - 1] and v[i] == v[i - 1]:
+            key[i] = key[i - 1] + 1
+    n_v, n_e = len(node_ids), len(u)
+    v_max = v_max or n_v
+    e_max = e_max or n_e
+
+    def pad1(x, n, fill=0):
+        out = np.full((n,), fill, x.dtype)
+        out[: len(x)] = x
+        return out
+
+    return {
+        "senders": pad1(senders, e_max),
+        "receivers": pad1(receivers, e_max),
+        "node_label": pad1(node_labels, v_max),
+        "edge_label": pad1(el, e_max),
+        "node_mask": np.arange(v_max) < n_v,
+        "edge_mask": np.arange(e_max) < n_e,
+        "rev_flag": pad1(rec["rev_flag"][m], e_max),
+        "n_node": np.int32(n_v),
+        "n_edge": np.int32(n_e),
+        "node_id": pad1(node_ids, v_max),
+        "edge_key": pad1(key, e_max),
+    }
+
+
 def batch_edgeseqs(records: List[Dict[str, np.ndarray]]) -> EdgeSeqBatch:
     def stack(key):
         return jnp.asarray(np.stack([r[key] for r in records], axis=0))

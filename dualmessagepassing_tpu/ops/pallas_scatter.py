@@ -12,25 +12,33 @@ atomics.
 Cost: E/TILE_E matmuls of [V, TILE_E] x [TILE_E, H] — O(E*V*H) MXU FLOPs
 traded for the scatter's O(E*H) serialized HBM round trips.
 
-MEASURED (TPU v5e, 1 chip, f32, H=64; relative numbers within one run —
-absolute latencies vary up to 7x with tunnel/TPU contention):
-    pallas_segment_sum (full-V accumulator):
-        V=64,  E=4k  : 0.95x of XLA unsorted scatter
-        V=512, E=64k : 0.28x
-    pallas_csr_segment_sum (sorted-CSR, row-tiled, double-buffered DMA):
-        V=256, E=4k  : 0.90x of XLA unsorted scatter
-        V=2k,  E=262k: 0.84x
-        V=82k, E=497k: 0.93x
-    XLA scatter with indices_are_sorted=True on the same sorted stream:
-        V=82k, E=497k: 1.38x of XLA unsorted scatter (7.7ms vs 10.6ms)
-Conclusions: (1) XLA's scatter-add is strong on this generation; the
-one-hot-matmul FLOP trade does not pay at any size tried, even with
-aligned, double-buffered DMA streaming. (2) The sorted-scatter hint only
-wins for the ISOLATED op — measured inside a full jitted train step it
-was ~100x SLOWER (unc/model.py notes), so it is exposed but off by
-default (``scatter_sum_flat(..., indices_sorted=True)``). Both kernels
-are EXPERIMENTAL and NOT default paths (ops/scatter.py keeps the
-one-hot-einsum + scatter heuristics).
+MEASURED round 2 with the DEVICE-TRACE clock (scripts/kernel_bench.py,
+TPU v5e, 1 chip, f32, H=64; "XLA Modules" lane, 10+ iters; the round-1
+host-clock table recorded here before was retracted — the relay clock
+lies in both directions):
+
+    variant              V=64/E=4k   V=512/E=64k  V=2k/E=262k  V=82k/E=498k
+    xla_scatter          0.032 ms    0.471 ms     2.077 ms      7.472 ms
+    xla_scatter_sorted   0.039       0.599        2.586         4.493
+    onehot_einsum        0.004       0.098        0.671        36.024
+    pallas_segment_sum   0.038       4.314       73.882            —
+    pallas_csr           —           2.451       10.752        25.902
+    HBM roofline         0.0013      0.021        0.084         0.184
+
+Conclusions (device-trace, supersede round 1):
+  (1) NOTHING is near speed-of-light: the best variant per size is
+      3-24x off the HBM roofline. XLA scatter is NOT >=80% of roofline
+      (it is 2.5-4.5%), so the kernel thread stays OPEN.
+  (2) The one-hot einsum is the right default for small/mid V (3-8x
+      faster than scatter up to V=2k, 3-8x off roofline) — the SCM hot
+      path already uses it (ops/scatter.py). It collapses at V=82k.
+  (3) The sorted-scatter hint WINS at large V: 1.66x isolated at
+      V=82k, and 1.04x on the full UNC train step (unc/model.py:450,
+      scripts/unc_step_bench.py) — the round-1 "100x slower in-step"
+      was a host-clock artifact. The UNC drivers enable it.
+  (4) Both Pallas kernels genuinely lose everywhere measured (0.03x to
+      0.29x of scatter) — the round-1 relative numbers were flattering.
+      They stay EXPERIMENTAL and off the default paths.
 
 Hard-won Mosaic lessons kept for future kernels:
   * HBM->VMEM DMA slice starts must be provably tile-aligned. A dynamic

@@ -172,7 +172,7 @@ def train_unc_supervised(
         num_nodes=num_nodes, num_rels=num_rels, h_dim=h_dim,
         nlabel=nlabel, num_hidden_layers=n_layers, dropout=dropout,
         reg_param=reg_param, node_attri=node_attri, backbone=backbone,
-        multi=multi)
+        multi=multi, sorted_edges=True)
 
     def make_batch(edges, brng=None):
         brng = rng if brng is None else brng
@@ -336,10 +336,13 @@ def train_unc(
         e_max = pad_e_max(e_max, ep_devices)
         ep_mesh = Mesh(np.asarray(jax.devices()[:ep_devices]), ("ep",))
 
+    # pad_subgraph sorts edges by receiver -> the sorted-scatter hint is
+    # always valid here (1.04x full-step win, see unc/model.py:450)
     mkw = dict(
         num_nodes=num_nodes, num_rels=num_rels, h_dim=h_dim,
         nlabel=0, num_hidden_layers=n_layers, dropout=dropout,
-        reg_param=reg_param, node_attri=node_attri, backbone=backbone)
+        reg_param=reg_param, node_attri=node_attri, backbone=backbone,
+        sorted_edges=True)
     model = UNCTrainModel(ep_axis="ep" if ep_mesh is not None else None,
                           **mkw)
     # init outside shard_map: an ep_axis-free twin has identical params

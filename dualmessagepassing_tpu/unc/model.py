@@ -447,16 +447,18 @@ class UNCTrainModel(nn.Module):
     backbone: str = "DMPNN"
     multi: bool = False
     multihot_input: bool = False
-    # pad_subgraph sorts edges by receiver, so aggregations COULD claim
-    # indices_are_sorted=True — but measured inside the full jitted train
-    # step the hint is ~100x SLOWER (168 ms vs 1.8 ms at V=65k/E=524k,
-    # v5e): it forces a worse scatter lowering than what XLA picks for the
-    # fused unsorted graph. The isolated-op 1.38x win (ops/scatter.py)
-    # does not transfer. Default stays False; the plumbing and the sorted
-    # layout are kept for future lowerings.
-    # NOTE round 2: that comparison used the relay's host clock, shown
-    # untrustworthy (CLAUDE.md); re-verify with the device trace before
-    # relying on it.
+    # pad_subgraph sorts edges by receiver, so aggregations can claim
+    # indices_are_sorted=True. Round-1's "100x slower in-step" claim was a
+    # relay host-clock artifact: re-measured with the device trace
+    # (scripts/unc_step_bench.py, v5e, V=65k/E=524k, 2 layers) the full
+    # train step is 124.9 ms sorted vs 129.9 ms unsorted (1.04x win), and
+    # the isolated scatter at V=82k/E=498k is 4.49 ms sorted vs 7.47 ms
+    # unsorted (1.66x win, scripts/kernel_bench.py). Default stays False
+    # because correctness then depends on the CALLER's edge order (the
+    # hint silently corrupts aggregation on unsorted input); the drivers,
+    # whose pipeline always sorts, enable it. Edge-partitioned shards of a
+    # globally sorted stream remain sorted, so the flag composes with
+    # ep_axis.
     sorted_edges: bool = False
     # Edge-partitioned execution (SURVEY §2.4): set to the shard_map axis
     # name when the model runs with edge arrays sharded across devices

@@ -232,3 +232,71 @@ def test_txl_attn_matches_oracle(rng):
     want = vec @ o["kernel"] + o["bias"] + wn
 
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+# =============================================================================
+# EdgeSeq mutation surface (round-1 VERDICT missing #5): add_tuples +
+# EdgeSeq <-> Graph round trip (reference dataset.py:352-445, 560-591).
+# =============================================================================
+
+
+def test_edgeseq_add_tuples_keeps_order(rng):
+    from dualmessagepassing_tpu.graph import (edgeseq_add_tuples,
+                                              record_to_edgeseq, single_graph)
+
+    rec = single_graph(5, [0, 1, 3, 3], [1, 2, 0, 4],
+                       node_labels=[1, 0, 1, 0, 1],
+                       edge_labels=[0, 1, 1, 0], v_max=5, e_max=6)
+    seq = record_to_edgeseq(rec)
+    # insert one tuple with an existing (u, v) prefix and one brand new
+    out = edgeseq_add_tuples(seq, np.asarray([
+        [3, 0, 0, 0, 1],    # equal key (3,0,el=0) -> before the existing row
+        [2, 4, 1, 2, 0],
+    ]))
+    n = int(out["n_tuple"])
+    assert n == 6
+    keys = list(zip(out["u"][:n].tolist(), out["v"][:n].tolist(),
+                    out["el"][:n].tolist()))
+    assert keys == sorted(keys), keys
+    # envelope grows on overflow
+    out2 = edgeseq_add_tuples(out, np.asarray([[4, 0, 1, 0, 1]]))
+    assert int(out2["n_tuple"]) == 7 and len(out2["u"]) == 7
+
+
+def test_edgeseq_graph_round_trip(rng):
+    from dualmessagepassing_tpu.graph import (edgeseq_to_graph,
+                                              record_to_edgeseq, single_graph)
+
+    for trial in range(5):
+        n_v, n_e = 6, 10
+        senders = rng.integers(0, n_v, n_e)
+        receivers = rng.integers(0, n_v, n_e)
+        nl = rng.integers(0, 3, n_v)
+        el = rng.integers(0, 3, n_e)
+        rec = single_graph(n_v, senders, receivers, node_labels=nl,
+                           edge_labels=el, v_max=8, e_max=12)
+        seq = record_to_edgeseq(rec)
+        back = edgeseq_to_graph(seq, v_max=8, e_max=12)
+        # every original edge (by original node ids + labels) survives
+        nid = back["node_id"]
+        orig = sorted(zip(senders.tolist(), receivers.tolist(),
+                          el.tolist()))
+        got = sorted(
+            (int(nid[s]), int(nid[r]), int(l))
+            for s, r, l in zip(back["senders"][back["edge_mask"]],
+                               back["receivers"][back["edge_mask"]],
+                               back["edge_label"][back["edge_mask"]]))
+        assert got == orig
+        # labels follow their node ids
+        for i in np.flatnonzero(back["node_mask"]):
+            assert back["node_label"][i] == nl[int(nid[i])]
+        # multi-edge keys number repeats consecutively from 0: for every
+        # (s, r) pair the keys of its copies are 0..count-1
+        em = back["edge_mask"]
+        pairs = list(zip(back["senders"][em].tolist(),
+                         back["receivers"][em].tolist()))
+        keys = back["edge_key"][em].tolist()
+        seen = {}
+        for p, k in zip(pairs, keys):
+            assert k == seen.get(p, 0), (p, k)
+            seen[p] = k + 1
