@@ -92,6 +92,29 @@ def generate_large_graph(num_nodes: int, num_edges: int, num_rels: int = 4,
     return (np.stack([src, rel, dst], axis=1).astype(np.int64), num_nodes)
 
 
+def generate_community_graph(num_nodes: int, num_edges: int,
+                             num_communities: int = 8, p_intra: float = 0.95,
+                             num_rels: int = 4, seed: int = 0):
+    """Community-structured large graph: endpoints share a community with
+    probability p_intra (the locality a METIS-style partitioner exploits;
+    the halo-exchange crossover study, parallel/halo.py). Returns
+    (triplets [E, 3], num_nodes)."""
+    rng = np.random.default_rng(seed)
+    per = -(-num_nodes // num_communities)
+    comm = rng.integers(0, num_communities, num_edges)
+    src = comm * per + rng.integers(0, per, num_edges)
+    intra = rng.random(num_edges) < p_intra
+    dst_comm = np.where(intra, comm,
+                        rng.integers(0, num_communities, num_edges))
+    dst = dst_comm * per + rng.integers(0, per, num_edges)
+    src = np.minimum(src, num_nodes - 1)
+    dst = np.minimum(dst, num_nodes - 1)
+    clash = src == dst
+    dst[clash] = (dst[clash] + 1) % num_nodes
+    rel = rng.integers(0, num_rels, num_edges)
+    return (np.stack([src, rel, dst], axis=1).astype(np.int64), num_nodes)
+
+
 def generate_dataset(
     n_pairs: int,
     seed: int = 0,

@@ -5,3 +5,9 @@ from .edge_partition import (
     pad_to_multiple,
     shard_flat_edges,
 )
+from .halo import (
+    build_halo_partition,
+    make_halo_dmp_apply,
+    shard_halo_arrays,
+    unshard_nodes,
+)
