@@ -44,6 +44,11 @@ def get_args(argv=None):
     p.add_argument("--ep_devices", type=int, default=0,
                    help="edge-partition the model over the first N devices "
                         "(0 = single-device); unsupervised mode only")
+    p.add_argument("--ep_mode", type=str, default="psum",
+                   choices=["psum", "halo"],
+                   help="node-state placement under --ep_devices: 'psum' "
+                        "replicates nodes (per-layer [V,H] all-reduce); "
+                        "'halo' owner-shards them (boundary all_to_all)")
     return p.parse_args(argv)
 
 
@@ -101,7 +106,8 @@ def main(argv=None):
             n_epochs=args.n_epochs, grad_norm=args.grad_norm,
             backbone=args.model, seed_nodes=seed_nodes or None,
             node_attri=attrs, seed=args.seed,
-            ep_devices=args.ep_devices or None, log=log)
+            ep_devices=args.ep_devices or None, ep_mode=args.ep_mode,
+            log=log)
 
     log("start output...")
     header = str(vars(args))

@@ -291,6 +291,7 @@ def train_unc(
     seed: int = 0,
     prefetch: int = 2,
     ep_devices: Optional[int] = None,
+    ep_mode: str = "psum",
     log: Callable[[str], None] = print,
 ):
     """Full UNC pipeline -> (node_embeddings [N, h], coverage fraction).
@@ -301,9 +302,14 @@ def train_unc(
         c = (subdeg + 1) / (deg + 1)             (main.py:196-209)
 
     `ep_devices=N` runs the REAL model edge-partitioned over the first N
-    devices (parallel/ep_unc.py): edge/dual-node state sharded over an
-    'ep' mesh axis, node state replicated, per-layer psum aggregation —
-    numerically equivalent to single-device (tests/test_ep_unc.py).
+    devices. Two shardings (both numerically equivalent to single-device,
+    tests/test_ep_unc.py / tests/test_halo_unc.py):
+      * ep_mode="psum" (parallel/ep_unc.py): edge/dual-node state sharded
+        over an 'ep' mesh axis, node state replicated, per-layer [V, H]
+        psum aggregation — right when V << E per shard;
+      * ep_mode="halo" (parallel/halo_unc.py): node state owner-sharded,
+        edges placed at their receiver's owner (local aggregation), one
+        boundary all_to_all per layer — scales node state and traffic.
     """
     rng = np.random.default_rng(seed)
     graph = WholeGraph(num_nodes, num_rels, triplets)
@@ -327,6 +333,7 @@ def train_unc(
     s_max = graph_batch_size * (1 + negative_rate)
 
     ep_mesh = None
+    halo = False
     if ep_devices:
         from jax.sharding import Mesh
 
@@ -335,20 +342,35 @@ def train_unc(
 
         e_max = pad_e_max(e_max, ep_devices)
         ep_mesh = Mesh(np.asarray(jax.devices()[:ep_devices]), ("ep",))
+        halo = ep_mode == "halo"
+        if halo:
+            from ..parallel.halo_unc import (build_halo_sub, halo_envelope,
+                                             make_halo_apply,
+                                             make_halo_train_step,
+                                             shard_halo_sub,
+                                             unshard_halo_nodes)
+
+            vp_env, ep_env, b_env = halo_envelope(v_max, e_max, ep_devices)
 
     # pad_subgraph sorts edges by receiver -> the sorted-scatter hint is
-    # always valid here (1.04x full-step win, see unc/model.py:450)
+    # always valid here (1.04x full-step win, see unc/model.py:450); the
+    # halo builder preserves per-shard receiver-sortedness
     mkw = dict(
         num_nodes=num_nodes, num_rels=num_rels, h_dim=h_dim,
         nlabel=0, num_hidden_layers=n_layers, dropout=dropout,
         reg_param=reg_param, node_attri=node_attri, backbone=backbone,
         sorted_edges=True)
     model = UNCTrainModel(ep_axis="ep" if ep_mesh is not None else None,
+                          node_sharding="owner" if halo else "replicated",
                           **mkw)
     # init outside shard_map: an ep_axis-free twin has identical params
     init_model = UNCTrainModel(**mkw) if ep_mesh is not None else model
 
     def to_device(padded):
+        if halo:
+            dev, _meta = build_halo_sub(padded, ep_devices, vp_env, ep_env,
+                                        b_env)
+            return shard_halo_sub(ep_mesh, dev)
         if ep_mesh is not None:
             return shard_sub(ep_mesh, padded)
         return {k: jnp.asarray(v) for k, v in padded.items()}
@@ -373,7 +395,9 @@ def train_unc(
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
-    if ep_mesh is not None:
+    if halo:
+        step = make_halo_train_step(model, tx, ep_mesh)
+    elif ep_mesh is not None:
         step = make_ep_train_step(model, tx, ep_mesh)
     else:
         step = make_unc_train_step(model, tx)
@@ -437,13 +461,24 @@ def train_unc(
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
-    if ep_mesh is not None:
+    if halo:
+        halo_fwd = make_halo_apply(model, ep_mesh)
+
+        def embed_step(vs, padded):
+            dev, meta = build_halo_sub(padded, ep_devices, vp_env, ep_env,
+                                       b_env)
+            out, _ = halo_fwd(vs, shard_halo_sub(ep_mesh, dev))
+            return unshard_halo_nodes(meta, out[0])
+    elif ep_mesh is not None:
         ep_fwd = make_ep_apply(model, ep_mesh)
 
-        def embed_step(vs, sub):
-            return ep_fwd(vs, sub)[0][0]
+        def embed_step(vs, padded):
+            return ep_fwd(vs, shard_sub(ep_mesh, padded))[0][0]
     else:
-        embed_step = make_unc_embed_step(model)
+        _embed = make_unc_embed_step(model)
+
+        def embed_step(vs, padded):
+            return _embed(vs, {k: jnp.asarray(v) for k, v in padded.items()})
     if node_attri is not None:
         node_emb = np.asarray(node_attri, np.float32).copy()
         if node_emb.shape[1] != h_dim:
@@ -455,7 +490,7 @@ def train_unc(
         subp = sample_batch(graph, edges, sampler, sample_depth, sample_width,
                             graph_split_size, negative_rate, v_max, e_max,
                             graph_batch_size * 4 * (1 + negative_rate), rng)
-        h = np.asarray(embed_step(variables, to_device(subp)))
+        h = np.asarray(embed_step(variables, subp))
         nm = subp["node_mask"]
         nid = subp["nid"][nm]
         sub_in_deg = np.bincount(subp["receivers"][subp["edge_mask"]],

@@ -42,6 +42,29 @@ def _xavier(scale=1.0):
     return scaled(xavier_uniform(1.0), scale)
 
 
+def _halo_table(node_feat, sub, axis):
+    """Owner-sharded gather table: [owned ; halo ; zero dump].
+
+    `node_feat` is this shard's owned rows [Vp, H]. The halo rows are the
+    boundary sender features owned by other shards, fetched with ONE
+    all_to_all over the `axis` mesh axis per call (SURVEY §2.4 "graph
+    partitioning / halo exchange"; exchange plan built host-side by
+    parallel/halo_unc.py). Local sender indices address this table:
+    0..Vp-1 owned, Vp + o*B + j the j-th boundary row from owner o, and
+    Vp + n*B the zero dump row for masked edges.
+    """
+    send_idx = sub["send_idx"]        # [n, B] rows of MY owned slice
+    send_mask = sub["send_mask"]      # [n, B]
+    n, b = send_idx.shape
+    h = node_feat.shape[-1]
+    send = jnp.where(send_mask[..., None], node_feat[send_idx], 0.0)
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                              tiled=False)
+    return jnp.concatenate(
+        [node_feat, recv.reshape(n * b, h),
+         jnp.zeros((1, h), node_feat.dtype)])
+
+
 class UpdateMLP2(nn.Module):
     """Linear-[BN]-LeakyReLU(1/5.5)-Linear (model.py:146-168)."""
 
@@ -80,6 +103,12 @@ class DualGraphConv(nn.Module):
     # collectives are one psum completing the node aggregation and one for
     # out-degrees (+ BN statistic psums when batch_norm).
     ep_axis: Optional[str] = None
+    # "replicated": node state replicated, aggregation completed by psum.
+    # "owner": node state owner-sharded (edges placed at their receiver's
+    # owner by parallel/halo_unc.py) — aggregation is fully local, sender
+    # gathers go through the per-layer halo table (_halo_table), and
+    # out-degrees arrive precomputed in sub["out_deg"].
+    node_sharding: str = "replicated"
 
     @nn.compact
     def __call__(self, sub: Dict[str, jnp.ndarray], node_feat, edge_feat,
@@ -103,9 +132,16 @@ class DualGraphConv(nn.Module):
         e_mask = sub["edge_mask"]
         rev = sub["rev_flag"][:, None]
         v = sub["node_mask"].shape[0]
+        owner_sharded = self.node_sharding == "owner"
 
-        hw_src = node_feat @ w_src
-        hw_dst = node_feat @ w_dst
+        # Under owner sharding, senders address the [owned; halo; dump]
+        # table; receivers are always owned rows (0..Vp-1, pads at 0 with
+        # their messages zeroed), so receiver gathers stay on node_feat's
+        # index space via the same table prefix.
+        table = (_halo_table(node_feat, sub, self.ep_axis)
+                 if owner_sharded else node_feat)
+        hw_src = table @ w_src
+        hw_dst = table @ w_dst
         edge_msg = jnp.where(
             rev,
             hw_dst[senders] - hw_src[receivers],
@@ -117,7 +153,9 @@ class DualGraphConv(nn.Module):
         node_msg = jnp.where(e_mask[:, None], node_msg, 0.0)
         agg = jnp.zeros((v, h), node_msg.dtype).at[receivers].add(
             node_msg, indices_are_sorted=self.sorted_edges)
-        if self.ep_axis:
+        if self.ep_axis and not owner_sharded:
+            # owner sharding places every edge at its receiver's owner, so
+            # the aggregation is complete without any collective
             agg = jax.lax.psum(agg, self.ep_axis)
 
         n_out = node_feat @ w_nloop + agg
@@ -127,10 +165,15 @@ class DualGraphConv(nn.Module):
                            name="nmlp")(
             n_out, mask=sub["node_mask"], train=train)
 
-        out_deg = jnp.zeros((v,), jnp.float32).at[senders].add(
-            e_mask.astype(jnp.float32))
-        if self.ep_axis:
-            out_deg = jax.lax.psum(out_deg, self.ep_axis)
+        if owner_sharded:
+            # global out-degrees of owned nodes (host-precomputed: edges
+            # whose SENDER is owned here may live on other shards)
+            out_deg = sub["out_deg"]
+        else:
+            out_deg = jnp.zeros((v,), jnp.float32).at[senders].add(
+                e_mask.astype(jnp.float32))
+            if self.ep_axis:
+                out_deg = jax.lax.psum(out_deg, self.ep_axis)
         d = jnp.log2(1.0 + out_deg)[receivers][:, None]
         add = 2.0 * (1.0 + d) * (edge_feat @ (w_src - w_dst))
         e_out = edge_feat @ w_eloop + edge_msg + add
@@ -160,6 +203,7 @@ class UNCDMPNN(nn.Module):
     multihot_input: bool = False
     sorted_edges: bool = False
     ep_axis: Optional[str] = None
+    node_sharding: str = "replicated"
 
     @nn.compact
     def __call__(self, sub, train: bool = False):
@@ -171,7 +215,7 @@ class UNCDMPNN(nn.Module):
             h, z = DualGraphConv(
                 hidden_dim=self.out_dim, activation=act,
                 dropout=self.dropout, sorted_edges=self.sorted_edges,
-                ep_axis=self.ep_axis,
+                ep_axis=self.ep_axis, node_sharding=self.node_sharding,
                 name=f"layer_{i}",
             )(sub, h, z, edge_norm=norm, train=train)
 
@@ -210,6 +254,7 @@ class CompGraphConv(nn.Module):
     dropout: float = 0.0
     sorted_edges: bool = False
     ep_axis: Optional[str] = None
+    node_sharding: str = "replicated"
 
     @nn.compact
     def __call__(self, sub, node_feat, edge_feat, edge_norm=None,
@@ -227,8 +272,11 @@ class CompGraphConv(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (h,))
 
+        owner_sharded = self.node_sharding == "owner"
+        table = (_halo_table(node_feat, sub, self.ep_axis)
+                 if owner_sharded else node_feat)
         v = sub["node_mask"].shape[0]
-        comp = comp_func(node_feat[sub["senders"]], edge_feat, self.comp_opt)
+        comp = comp_func(table[sub["senders"]], edge_feat, self.comp_opt)
         rev = sub["rev_flag"][:, None]
         msg = jnp.where(rev, comp @ w_out, comp @ w_in)
         if edge_norm is not None:
@@ -236,7 +284,7 @@ class CompGraphConv(nn.Module):
         msg = jnp.where(sub["edge_mask"][:, None], msg, 0.0)
         agg = jnp.zeros((v, h), msg.dtype).at[sub["receivers"]].add(
             msg, indices_are_sorted=self.sorted_edges)
-        if self.ep_axis:
+        if self.ep_axis and not owner_sharded:
             agg = jax.lax.psum(agg, self.ep_axis)
 
         if self.self_loop:
@@ -257,10 +305,12 @@ class CompGraphConv(nn.Module):
 
 
 def _flat_relation_agg(sub, src_feat_e, weights, sorted_edges=False,
-                       ep_axis=None):
+                       ep_axis=None, local_complete=False):
     """agg[v] = sum_e->v src_feat_e @ W[rel(e)] via a scan over relations
     (same MXU-friendly scheme as models/rgnn.py). Under edge partitioning
-    the partial sums are completed by ONE psum after the scan."""
+    the partial sums are completed by ONE psum after the scan —
+    `local_complete` (owner sharding: edges live at their receiver's
+    owner) skips it."""
     v = sub["node_mask"].shape[0]
     num_rels = weights.shape[0]
 
@@ -275,7 +325,7 @@ def _flat_relation_agg(sub, src_feat_e, weights, sorted_edges=False,
 
     init = jnp.zeros((v, weights.shape[2]), src_feat_e.dtype)
     agg, _ = jax.lax.scan(body, init, (weights, jnp.arange(num_rels)))
-    if ep_axis:
+    if ep_axis and not local_complete:
         agg = jax.lax.psum(agg, ep_axis)
     return agg
 
@@ -296,18 +346,23 @@ class RelGraphConvFlat(nn.Module):
     dropout: float = 0.0
     sorted_edges: bool = False
     ep_axis: Optional[str] = None
+    node_sharding: str = "replicated"
 
     @nn.compact
     def __call__(self, sub, node_feat, edge_norm=None, train: bool = False):
         h = self.hidden_dim
         din = node_feat.shape[-1]
         weights = self.param("weight", _xavier(), (self.num_rels, din, h))
-        src = node_feat[sub["senders"]]
+        owner_sharded = self.node_sharding == "owner"
+        table = (_halo_table(node_feat, sub, self.ep_axis)
+                 if owner_sharded else node_feat)
+        src = table[sub["senders"]]
         if self.use_norm and edge_norm is not None:
             src = src * edge_norm
         out = _flat_relation_agg(sub, src, weights,
                                  sorted_edges=self.sorted_edges,
-                                 ep_axis=self.ep_axis)
+                                 ep_axis=self.ep_axis,
+                                 local_complete=owner_sharded)
         if self.self_loop:
             out = out + node_feat @ self.param("loop_weight", _xavier(),
                                                (din, h))
@@ -346,6 +401,7 @@ class UNCCompGCN(nn.Module):
     multihot_input: bool = False
     sorted_edges: bool = False
     ep_axis: Optional[str] = None
+    node_sharding: str = "replicated"
 
     @nn.compact
     def __call__(self, sub, train: bool = False):
@@ -356,7 +412,7 @@ class UNCCompGCN(nn.Module):
             h, z = CompGraphConv(
                 hidden_dim=self.out_dim, comp_opt="corr", activation=act,
                 dropout=self.dropout, sorted_edges=self.sorted_edges,
-                ep_axis=self.ep_axis,
+                ep_axis=self.ep_axis, node_sharding=self.node_sharding,
                 name=f"layer_{i}",
             )(sub, h, z, edge_norm=norm, train=train)
         return h, z
@@ -377,6 +433,7 @@ class UNCRGNN(nn.Module):
     multihot_input: bool = False
     sorted_edges: bool = False
     ep_axis: Optional[str] = None
+    node_sharding: str = "replicated"
 
     @nn.compact
     def __call__(self, sub, train: bool = False):
@@ -390,7 +447,7 @@ class UNCRGNN(nn.Module):
                 use_norm=(self.kind == "rgcn"),
                 iso_layer=(self.kind == "rgin"),
                 sorted_edges=self.sorted_edges,
-                ep_axis=self.ep_axis,
+                ep_axis=self.ep_axis, node_sharding=self.node_sharding,
                 name=f"layer_{i}",
             )(sub, h, edge_norm=norm, train=train)
         return (h,)
@@ -466,6 +523,14 @@ class UNCTrainModel(nn.Module):
     # edge-reduction (aggregation, degrees, BN stats, per-relation means,
     # edge-stream regularizer sums) is completed with a psum over this axis.
     ep_axis: Optional[str] = None
+    # Node-state placement under ep_axis. "replicated" is the full-psum
+    # path above; "owner" is the halo-exchange path (parallel/halo_unc.py):
+    # node rows are partitioned by owner, every edge lives at its
+    # receiver's owner (local aggregation, no per-layer psum), each layer
+    # exchanges only boundary sender rows with one all_to_all, and the
+    # DistMult/supervised losses all_gather the final [Vp, H] node outputs
+    # once to score samples addressed by packed ids (owner * Vp + rank).
+    node_sharding: str = "replicated"
 
     def setup(self):
         i_dim = (self.h_dim if self.node_attri is None
@@ -476,7 +541,8 @@ class UNCTrainModel(nn.Module):
                   dropout=self.dropout, node_attri=self.node_attri,
                   multihot_input=self.multihot_input,
                   sorted_edges=self.sorted_edges,
-                  ep_axis=self.ep_axis)
+                  ep_axis=self.ep_axis,
+                  node_sharding=self.node_sharding)
         if self.backbone == "DMPNN":
             self.model = UNCDMPNN(**kw)
         elif self.backbone == "CompGCN":
@@ -506,6 +572,14 @@ class UNCTrainModel(nn.Module):
         pred = self.node_fc(out[0]) if self.nlabel > 0 else None
         return out, pred
 
+    def _full_rows(self, x):
+        """Owner-sharded mode: all_gather the per-shard node rows so packed
+        ids (owner * Vp + rank, built by parallel/halo_unc.py) address the
+        full [n*Vp, ...] table. No-op in replicated mode."""
+        if self.node_sharding == "owner" and self.ep_axis:
+            return jax.lax.all_gather(x, self.ep_axis, axis=0, tiled=True)
+        return x
+
     def calc_score(self, node_emb, triplets):
         s = node_emb[triplets[:, 0]]
         r = self.w_relation[triplets[:, 1]]
@@ -514,11 +588,14 @@ class UNCTrainModel(nn.Module):
 
     def regularization(self, embedding, edge_type=None, edge_mask=None,
                        node_mask=None):
-        """mean(w_rel^2) + sum_i mean(emb_i^2) + edge_fc alignment for any
-        edge-shaped stream (model.py:691-715). The reference tensors are
-        unpadded, so our means run over mask-valid rows only; masks are
-        matched to each stream by leading-axis length (h -> node_mask,
-        z -> edge_mask, r_bar -> none)."""
+        """mean(w_rel^2) + sum_i mean(emb_i^2) + edge_fc alignment for the
+        edge stream (model.py:691-715). The reference tensors are unpadded,
+        so our means run over mask-valid rows only. The backbone output
+        tuple is positional — 0: node rows, 1: edge rows, 2: per-relation
+        means — and masks are associated positionally (the reference's
+        size(0)-matching is the same association on unpadded shapes, but
+        under padded/sharded envelopes leading dims can collide, e.g.
+        Vp == 2*num_rels)."""
         reg = jnp.mean(self.w_relation ** 2)  # replicated params: no psum
         if not isinstance(embedding, (tuple, list)):
             embedding = (embedding,)
@@ -526,35 +603,27 @@ class UNCTrainModel(nn.Module):
         def _psum(v):
             return jax.lax.psum(v, self.ep_axis) if self.ep_axis else v
 
-        def mask_for(emb):
-            if edge_mask is not None and emb.shape[0] == edge_mask.shape[0]:
-                return edge_mask
-            if node_mask is not None and emb.shape[0] == node_mask.shape[0]:
-                return node_mask
-            return None
-
         # psum-both-numerator-and-denominator is correct for sharded edge
         # streams AND replicated node/relation streams (factor cancels)
-        for emb in embedding:
-            reg = reg + _masked_mean_sq(emb, mask_for(emb), psum=_psum)
-        if edge_type is not None:
-            for emb in embedding:
-                if emb.shape[0] != edge_type.shape[0]:
-                    continue
-                mask = jnp.logical_and(
-                    edge_type < self.num_rels,
-                    edge_mask if edge_mask is not None else True)
-                diff = self.edge_fc(emb) - self.w_relation[
-                    jnp.minimum(edge_type, self.num_rels - 1)]
-                sq = jnp.sum(diff ** 2, axis=1)
-                cnt = jnp.maximum(_psum(jnp.sum(mask)), 1)
-                reg = reg + _psum(jnp.sum(jnp.where(mask, sq, 0.0))) / (
-                    cnt * self.h_dim)
+        masks = (node_mask, edge_mask, None)
+        for emb, mask in zip(embedding, masks):
+            reg = reg + _masked_mean_sq(emb, mask, psum=_psum)
+        if edge_type is not None and len(embedding) > 1:
+            emb = embedding[1]  # the per-edge stream (z)
+            mask = jnp.logical_and(
+                edge_type < self.num_rels,
+                edge_mask if edge_mask is not None else True)
+            diff = self.edge_fc(emb) - self.w_relation[
+                jnp.minimum(edge_type, self.num_rels - 1)]
+            sq = jnp.sum(diff ** 2, axis=1)
+            cnt = jnp.maximum(_psum(jnp.sum(mask)), 1)
+            reg = reg + _psum(jnp.sum(jnp.where(mask, sq, 0.0))) / (
+                cnt * self.h_dim)
         return reg
 
     def unsupervised_loss(self, embedding, edge_type, edge_mask, samples,
                           labels, sample_mask, node_mask=None):
-        score = self.calc_score(embedding[0], samples)
+        score = self.calc_score(self._full_rows(embedding[0]), samples)
         bce = optax_sigmoid_bce(score, labels)
         cnt = jnp.maximum(jnp.sum(sample_mask), 1)
         predict_loss = jnp.sum(jnp.where(sample_mask, bce, 0.0)) / cnt
@@ -563,7 +632,7 @@ class UNCTrainModel(nn.Module):
 
     def supervised_loss(self, embedding, edge_type, edge_mask, pred,
                         matched_labels, matched_index, matched_mask, multi):
-        p = pred[matched_index]
+        p = self._full_rows(pred)[matched_index]
         if multi:
             logp = jax.nn.log_sigmoid(p)
             log1mp = jax.nn.log_sigmoid(-p)
