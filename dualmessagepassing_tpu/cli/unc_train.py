@@ -49,6 +49,11 @@ def get_args(argv=None):
                    help="node-state placement under --ep_devices: 'psum' "
                         "replicates nodes (per-layer [V,H] all-reduce); "
                         "'halo' owner-shards them (boundary all_to_all)")
+    p.add_argument("--scatter_backend", type=str, default="xla",
+                   choices=["xla", "windowed"],
+                   help="node-aggregation backend: 'windowed' uses the "
+                        "pass-per-window Pallas kernel (single-device, "
+                        "DMPNN; 2.0-2.4x over XLA scatter at Yelp scale)")
     return p.parse_args(argv)
 
 
@@ -107,7 +112,7 @@ def main(argv=None):
             backbone=args.model, seed_nodes=seed_nodes or None,
             node_attri=attrs, seed=args.seed,
             ep_devices=args.ep_devices or None, ep_mode=args.ep_mode,
-            log=log)
+            scatter_backend=args.scatter_backend, log=log)
 
     log("start output...")
     header = str(vars(args))

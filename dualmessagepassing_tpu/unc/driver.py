@@ -292,6 +292,7 @@ def train_unc(
     prefetch: int = 2,
     ep_devices: Optional[int] = None,
     ep_mode: str = "psum",
+    scatter_backend: str = "xla",
     log: Callable[[str], None] = print,
 ):
     """Full UNC pipeline -> (node_embeddings [N, h], coverage fraction).
@@ -355,16 +356,23 @@ def train_unc(
     # pad_subgraph sorts edges by receiver -> the sorted-scatter hint is
     # always valid here (1.04x full-step win, see unc/model.py:450); the
     # halo builder preserves per-shard receiver-sortedness
+    # the windowed scatter kernel (ops/segment_kernel.py, 2.0-2.4x over
+    # XLA scatter at Yelp scale) is plumbed for the single-device path;
+    # under ep/halo sharding the per-shard plans are future work
+    windowed = scatter_backend == "windowed" and ep_mesh is None
     mkw = dict(
         num_nodes=num_nodes, num_rels=num_rels, h_dim=h_dim,
         nlabel=0, num_hidden_layers=n_layers, dropout=dropout,
         reg_param=reg_param, node_attri=node_attri, backbone=backbone,
-        sorted_edges=True)
+        sorted_edges=True,
+        scatter_backend="windowed" if windowed else "xla")
     model = UNCTrainModel(ep_axis="ep" if ep_mesh is not None else None,
                           node_sharding="owner" if halo else "replicated",
                           **mkw)
     # init outside shard_map: an ep_axis-free twin has identical params
     init_model = UNCTrainModel(**mkw) if ep_mesh is not None else model
+    if windowed:
+        from ..ops.segment_kernel import attach_scatter_plan
 
     def to_device(padded):
         if halo:
@@ -373,6 +381,8 @@ def train_unc(
             return shard_halo_sub(ep_mesh, dev)
         if ep_mesh is not None:
             return shard_sub(ep_mesh, padded)
+        if windowed:
+            padded = attach_scatter_plan(padded)
         return {k: jnp.asarray(v) for k, v in padded.items()}
 
     n_batches = math.ceil(len(train_edges) / graph_batch_size)

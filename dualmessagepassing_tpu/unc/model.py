@@ -109,6 +109,12 @@ class DualGraphConv(nn.Module):
     # gathers go through the per-layer halo table (_halo_table), and
     # out-degrees arrive precomputed in sub["out_deg"].
     node_sharding: str = "replicated"
+    # "xla": scatter-add (+ sorted hint via sorted_edges). "windowed": the
+    # pass-per-(chunk, window) Pallas kernel (ops/segment_kernel.py,
+    # 2.0-2.4x over the best XLA lowering at Yelp scale) — requires the
+    # sub dict to carry a pass plan (segment_kernel.attach_scatter_plan,
+    # wired by the drivers via scatter_backend="windowed").
+    scatter_backend: str = "xla"
 
     @nn.compact
     def __call__(self, sub: Dict[str, jnp.ndarray], node_feat, edge_feat,
@@ -147,12 +153,31 @@ class DualGraphConv(nn.Module):
             hw_dst[senders] - hw_src[receivers],
             hw_dst[receivers] - hw_src[senders],
         )
-        node_msg = jnp.where(rev, edge_feat @ w_out, -(edge_feat @ w_in))
+        windowed = self.scatter_backend == "windowed" and "sk_blk" in sub
+        if windowed:
+            # produce the message at the kernel's native 128-lane width by
+            # zero-padding the weight COLUMNS: the pad lanes ride the same
+            # MXU pass and the where/norm/mask chain, so the kernel input
+            # needs no separate repack materialization (segment_kernel
+            # fusion note). Extra lanes of agg are sliced away below.
+            w_out_k = jnp.pad(w_out, ((0, 0), (0, 128 - h)))
+            w_in_k = jnp.pad(w_in, ((0, 0), (0, 128 - h)))
+        else:
+            w_out_k, w_in_k = w_out, w_in
+        node_msg = jnp.where(rev, edge_feat @ w_out_k,
+                             -(edge_feat @ w_in_k))
         if edge_norm is not None:
             node_msg = node_msg * edge_norm
         node_msg = jnp.where(e_mask[:, None], node_msg, 0.0)
-        agg = jnp.zeros((v, h), node_msg.dtype).at[receivers].add(
-            node_msg, indices_are_sorted=self.sorted_edges)
+        if windowed:
+            from ..ops.segment_kernel import segment_sum_windowed_arrays
+
+            agg = segment_sum_windowed_arrays(
+                node_msg, sub["sk_recv"], sub["sk_blk"], sub["sk_win"],
+                sub["sk_first"], num_nodes=v, out_width=h)
+        else:
+            agg = jnp.zeros((v, h), node_msg.dtype).at[receivers].add(
+                node_msg, indices_are_sorted=self.sorted_edges)
         if self.ep_axis and not owner_sharded:
             # owner sharding places every edge at its receiver's owner, so
             # the aggregation is complete without any collective
@@ -204,6 +229,7 @@ class UNCDMPNN(nn.Module):
     sorted_edges: bool = False
     ep_axis: Optional[str] = None
     node_sharding: str = "replicated"
+    scatter_backend: str = "xla"
 
     @nn.compact
     def __call__(self, sub, train: bool = False):
@@ -216,6 +242,7 @@ class UNCDMPNN(nn.Module):
                 hidden_dim=self.out_dim, activation=act,
                 dropout=self.dropout, sorted_edges=self.sorted_edges,
                 ep_axis=self.ep_axis, node_sharding=self.node_sharding,
+                scatter_backend=self.scatter_backend,
                 name=f"layer_{i}",
             )(sub, h, z, edge_norm=norm, train=train)
 
@@ -255,6 +282,7 @@ class CompGraphConv(nn.Module):
     sorted_edges: bool = False
     ep_axis: Optional[str] = None
     node_sharding: str = "replicated"
+    scatter_backend: str = "xla"
 
     @nn.compact
     def __call__(self, sub, node_feat, edge_feat, edge_norm=None,
@@ -347,6 +375,7 @@ class RelGraphConvFlat(nn.Module):
     sorted_edges: bool = False
     ep_axis: Optional[str] = None
     node_sharding: str = "replicated"
+    scatter_backend: str = "xla"
 
     @nn.compact
     def __call__(self, sub, node_feat, edge_norm=None, train: bool = False):
@@ -402,6 +431,7 @@ class UNCCompGCN(nn.Module):
     sorted_edges: bool = False
     ep_axis: Optional[str] = None
     node_sharding: str = "replicated"
+    scatter_backend: str = "xla"
 
     @nn.compact
     def __call__(self, sub, train: bool = False):
@@ -434,6 +464,7 @@ class UNCRGNN(nn.Module):
     sorted_edges: bool = False
     ep_axis: Optional[str] = None
     node_sharding: str = "replicated"
+    scatter_backend: str = "xla"
 
     @nn.compact
     def __call__(self, sub, train: bool = False):
@@ -531,6 +562,10 @@ class UNCTrainModel(nn.Module):
     # DistMult/supervised losses all_gather the final [Vp, H] node outputs
     # once to score samples addressed by packed ids (owner * Vp + rank).
     node_sharding: str = "replicated"
+    # "xla" | "windowed" (ops/segment_kernel.py; DualGraphConv only — the
+    # other layer types keep XLA scatter). The drivers attach the required
+    # pass plan to the sub dict (segment_kernel.attach_scatter_plan).
+    scatter_backend: str = "xla"
 
     def setup(self):
         i_dim = (self.h_dim if self.node_attri is None
@@ -542,7 +577,8 @@ class UNCTrainModel(nn.Module):
                   multihot_input=self.multihot_input,
                   sorted_edges=self.sorted_edges,
                   ep_axis=self.ep_axis,
-                  node_sharding=self.node_sharding)
+                  node_sharding=self.node_sharding,
+                  scatter_backend=self.scatter_backend)
         if self.backbone == "DMPNN":
             self.model = UNCDMPNN(**kw)
         elif self.backbone == "CompGCN":

@@ -21,6 +21,7 @@ Usage:  python scripts/kernel_bench.py [--iters 20]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -118,6 +119,20 @@ def main():
                 lambda m, r, p: pallas_csr_segment_sum(m, r, p, v_pad,
                                                        tile_v=tile_v),
                 (ms_d, rs_d, rp_d))
+
+        # windowed pass-per-(chunk, window) kernel (ops/segment_kernel.py)
+        from dualmessagepassing_tpu.ops import segment_kernel as sk
+
+        plan = sk.build_pass_plan(recv_sorted, V, e_env=E, v_env=V)
+
+        def mk_v5(mode, plan=plan, V=V):
+            @jax.jit
+            def f(m):
+                return sk.windowed_segment_sum(m, plan, V, mode=mode)
+            return f
+
+        for mode in ("highest", "hilo"):
+            variants[f"v5_windowed_{mode}"] = (mk_v5(mode), (msg_s,))
 
         ideal_bytes = E * H * 4 + V * H * 4 + E * 4
         bound_ms = ideal_bytes / (HBM_GBPS * 1e9) * 1e3

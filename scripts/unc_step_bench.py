@@ -61,12 +61,21 @@ def main():
     }
     sub = {k: jnp.asarray(v) for k, v in sub_np.items()}
 
+    from dualmessagepassing_tpu.ops.segment_kernel import attach_scatter_plan
+
+    sub_planned = {k: jnp.asarray(v)
+                   for k, v in attach_scatter_plan(sub_np).items()}
+
     out = {}
-    for sorted_edges in (False, True):
+    for variant in ("unsorted", "sorted", "windowed"):
+        sorted_edges = variant != "unsorted"
+        if variant == "windowed":
+            sub = sub_planned
         model = UNCTrainModel(
             num_nodes=V, num_rels=R, h_dim=H, nlabel=0,
             num_hidden_layers=args.layers, dropout=0.2, reg_param=0.01,
-            backbone="DMPNN", sorted_edges=sorted_edges)
+            backbone="DMPNN", sorted_edges=sorted_edges,
+            scatter_backend="windowed" if variant == "windowed" else "xla")
         variables = init_unc_variables(model, jax.random.PRNGKey(0), sub)
         params = variables["params"]
         stats = variables.get("batch_stats", {})
@@ -107,7 +116,7 @@ def main():
                                          jax.random.PRNGKey(3 + k))
             jax.block_until_ready(loss)
         ms = device_ms_per_step(logdir, args.iters)
-        key = "sorted" if sorted_edges else "unsorted"
+        key = variant
         out[key] = {"device_ms": None if ms is None else round(ms, 3),
                     "flops": float(ca.get("flops", float("nan")))}
         print(json.dumps({key: out[key]}), flush=True)
