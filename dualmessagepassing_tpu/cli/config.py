@@ -29,6 +29,9 @@ def add_model_config(parser):
     g.add_argument("--rep_dropout", type=float, default=0.0)
     # TPU-first extension: jax.checkpoint each DMP layer (memory <-> recompute)
     g.add_argument("--rep_remat", type=str2bool, default=False)
+    # TPU-first extension: bf16 forward/backward with f32 master params
+    # (utils/amp.py; 1.76x flagship step on v5e)
+    g.add_argument("--amp", type=str2bool, default=False)
     g.add_argument("--rep_act_func", type=str, default="leaky_relu")
     g.add_argument("--share_rep_net", type=str2bool, default=True)
     g.add_argument("--share_emb_net", type=str2bool, default=True)

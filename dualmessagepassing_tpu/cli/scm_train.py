@@ -203,7 +203,8 @@ def main(argv=None):
                     config["num_cycles"], config["min_percent"]))
     train_step = make_train_step(model, tx, config["bp_loss"],
                                  config["match_weights"],
-                                 eval_metric=config["eval_metric"])
+                                 eval_metric=config["eval_metric"],
+                                 amp=config.get("amp", False))
     eval_step = make_eval_step(model)
 
     sizes = {k: v.sizes() for k, v in datasets.items()}

@@ -28,6 +28,7 @@ import flax.linen as nn
 
 from ..graph import GraphBatch
 from ..ops.encoding import get_enc_len
+from ..utils.amp import compute_dtype
 from ..ops.scatter import gather_nodes, gather_scalars
 from .embed import Embedding, MultihotEncoder, PositionEncoder
 from .filter import scalar_filter
@@ -297,8 +298,8 @@ class GraphAdjModelV2(nn.Module):
         el_gate = scalar_filter(pattern.edge_label, graph.edge_label,
                                 pattern.edge_mask)
         return (
-            vl_gate.astype(jnp.float32)[..., None],
-            el_gate.astype(jnp.float32)[..., None],
+            vl_gate.astype(compute_dtype())[..., None],
+            el_gate.astype(compute_dtype())[..., None],
         )
 
     def __call__(self, pattern: GraphBatch, graph: GraphBatch,
@@ -320,15 +321,15 @@ class GraphAdjModelV2(nn.Module):
         p_v_emb, p_e_emb = p_emb_net(p_enc)
         p_v_rep, p_e_rep = p_rep_net(
             pattern, p_v_emb, p_e_emb,
-            v_gate=p_v_mask.astype(jnp.float32)[..., None],
-            e_gate=p_e_mask.astype(jnp.float32)[..., None],
+            v_gate=p_v_mask.astype(compute_dtype())[..., None],
+            e_gate=p_e_mask.astype(compute_dtype())[..., None],
             train=train,
         )
 
         g_enc = self.g_enc_net(graph)
         g_v_emb, g_e_emb = self.g_emb_net(g_enc)
-        g_v_gate = g_v_mask.astype(jnp.float32)[..., None]
-        g_e_gate = g_e_mask.astype(jnp.float32)[..., None]
+        g_v_gate = g_v_mask.astype(compute_dtype())[..., None]
+        g_e_gate = g_e_mask.astype(compute_dtype())[..., None]
         if vl_gate is not None:
             g_v_gate = g_v_gate * vl_gate
             g_e_gate = g_e_gate * el_gate
@@ -424,8 +425,8 @@ class GraphAdjModelV2(nn.Module):
                 p_e_out, p_e_mask, g_e_out, g_e_mask, train=train
             )
         if cfg.node_pred and cfg.edge_pred:
-            g_v_len = jnp.sum(g_v_mask.astype(jnp.float32), 1, keepdims=True)
-            g_e_len = jnp.sum(g_e_mask.astype(jnp.float32), 1, keepdims=True)
+            g_v_len = jnp.sum(g_v_mask.astype(compute_dtype()), 1, keepdims=True)
+            g_e_len = jnp.sum(g_e_mask.astype(compute_dtype()), 1, keepdims=True)
             g_len = g_v_len + g_e_len
             pred_c = (g_v_len / g_len) * v_pred_c + (g_e_len / g_len) * e_pred_c
         elif cfg.node_pred:
@@ -487,7 +488,7 @@ class GraphAdjModel(nn.Module):
             raise ValueError(self.cfg.filter_net)
         vl_gate = scalar_filter(pattern.node_label, graph.node_label,
                                 pattern.node_mask)
-        return vl_gate.astype(jnp.float32)[..., None]
+        return vl_gate.astype(compute_dtype())[..., None]
 
     def __call__(self, pattern: GraphBatch, graph: GraphBatch,
                  train: bool = False) -> Dict[str, Any]:
@@ -504,12 +505,12 @@ class GraphAdjModel(nn.Module):
         p_v_emb, _ = p_emb_net(p_enc)
         p_v_rep = p_rep_net(
             pattern, p_v_emb,
-            v_gate=p_v_mask.astype(jnp.float32)[..., None], train=train,
+            v_gate=p_v_mask.astype(compute_dtype())[..., None], train=train,
         )
 
         g_enc = self.g_enc_net(graph)
         g_v_emb, _ = self.g_emb_net(g_enc)
-        g_v_gate = g_v_mask.astype(jnp.float32)[..., None]
+        g_v_gate = g_v_mask.astype(compute_dtype())[..., None]
         if vl_gate is not None:
             g_v_gate = g_v_gate * vl_gate
         g_v_rep = self.g_rep_net(graph, g_v_emb, v_gate=g_v_gate, train=train)

@@ -121,7 +121,9 @@ class DMPLayer(nn.Module):
         out_deg = graph.out_degrees()                         # [B, V]
         d = gather_scalars(out_deg, receivers,
                            method=self.scatter_method)        # outdeg at dst
-        d = jnp.log2(1.0 + d)[..., None]
+        # degrees are f32 (exact counts); cast so bf16 compute (utils/amp)
+        # is not silently promoted back through the edge stream
+        d = jnp.log2(1.0 + d)[..., None].astype(edge_feat.dtype)
         add = 2.0 * (1.0 + d) * (edge_feat @ (w_src - w_dst))
         e_out = edge_feat @ w_eloop + add + edge_msg
         if self.use_bias:

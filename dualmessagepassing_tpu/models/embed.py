@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
+from ..utils.amp import compute_dtype
 from ..ops.encoding import get_enc_len, multihot_table, position_table
 from ..utils.init import kaiming_normal
 
@@ -46,7 +47,8 @@ class MultihotEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        table = jnp.asarray(multihot_table(self.max_n, self.base))
+        table = jnp.asarray(multihot_table(self.max_n, self.base),
+                            dtype=compute_dtype())
         return _apply_table(table, x)
 
 
@@ -59,7 +61,9 @@ class PositionEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        table = jnp.asarray(position_table(self.features, self.max_len, self.scale))
+        table = jnp.asarray(
+            position_table(self.features, self.max_len, self.scale),
+            dtype=compute_dtype())
         return _apply_table(table, x)
 
 

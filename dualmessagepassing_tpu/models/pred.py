@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..utils.amp import compute_dtype
 from ..utils.act import map_activation_str_to_fn
 from .layers import Dense
 
@@ -63,8 +64,10 @@ class PredictNet(nn.Module):
         h = self.hidden_dim
         bsz, g_len = g_mask.shape
 
-        pl = jnp.sum(p_mask.astype(jnp.float32), axis=1, keepdims=True)  # [B,1]
-        gl = jnp.sum(g_mask.astype(jnp.float32), axis=1, keepdims=True)
+        pl = jnp.sum(p_mask.astype(jnp.float32), axis=1,
+                     keepdims=True).astype(compute_dtype())  # [B,1]
+        gl = jnp.sum(g_mask.astype(jnp.float32), axis=1,
+                     keepdims=True).astype(compute_dtype())
         pl_inv, gl_inv = 1.0 / pl, 1.0 / gl
         # batch max true length == reference's padded max length
         p_max_len = jnp.max(pl)

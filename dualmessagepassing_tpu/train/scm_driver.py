@@ -68,8 +68,15 @@ def make_optimizer(lr: float, weight_decay: float = 1e-5,
 
 def make_train_step(model, tx, bp_loss: str = "MSE",
                     return_weights: str = "none",
-                    eval_metric: Optional[str] = None) -> Callable:
-    """Jitted (state, batch, scalars) -> (state, losses)."""
+                    eval_metric: Optional[str] = None,
+                    amp: bool = False) -> Callable:
+    """Jitted (state, batch, scalars) -> (state, losses).
+
+    amp=True runs the model forward/backward in bfloat16 (f32 master
+    params and optimizer state; losses/regularizers in f32; the model's
+    gate/table dtype pins follow utils.amp's trace-time compute dtype) —
+    the flagship step is memory-feed-bound, so halving activation bytes
+    is the lever (ARCHITECTURE.md §11)."""
 
     use_node_w = "node" in return_weights
     use_edge_w = "edge" in return_weights
@@ -93,12 +100,26 @@ def make_train_step(model, tx, bp_loss: str = "MSE",
         edge_weights = refine("edge", edge_weights) if use_edge_w else edge_weights
 
         def loss_fn(params):
-            variables = {"params": params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            out, mutated = model.apply(
-                variables, pattern, graph, train=True,
-                rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+            if amp:
+                from ..utils.amp import cast_floats, compute_dtype_scope
+
+                with compute_dtype_scope(jnp.bfloat16):
+                    variables = {"params": cast_floats(params, jnp.bfloat16)}
+                    if state.batch_stats:
+                        variables["batch_stats"] = state.batch_stats
+                    out, mutated = model.apply(
+                        variables, cast_floats(pattern, jnp.bfloat16),
+                        cast_floats(graph, jnp.bfloat16), train=True,
+                        rngs={"dropout": dropout_rng},
+                        mutable=["batch_stats"])
+                out = cast_floats(out, jnp.float32)
+            else:
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                out, mutated = model.apply(
+                    variables, pattern, graph, train=True,
+                    rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
             losses = scm_loss(
                 out, counts,
                 node_weights if use_node_w else None,
