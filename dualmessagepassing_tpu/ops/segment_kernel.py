@@ -268,6 +268,23 @@ def attach_scatter_plan(padded: Dict[str, np.ndarray],
     return out
 
 
+def plan_sk_arrays(recv_real: np.ndarray, v_env: int, e_env: int,
+                   tile_e: int = DEFAULT_TILE_E,
+                   window: int = DEFAULT_WINDOW) -> Dict[str, np.ndarray]:
+    """build_pass_plan -> the sk_* key naming the model consumes.
+
+    One shard's worth of plan: `recv_real` is the real (unpadded) prefix
+    of a receiver-sorted edge stream, `v_env`/`e_env` the static node/edge
+    envelope of that stream. Used per shard by parallel/ep_unc.py
+    (contiguous slices of the global stream, full-V output) and
+    parallel/halo_unc.py (owner-local streams, [Vp] output) so the
+    windowed kernel runs inside shard_map with traced plan arrays."""
+    plan = build_pass_plan(np.asarray(recv_real), v_env, e_env=e_env,
+                           v_env=v_env, tile_e=tile_e, window=window)
+    return {"sk_blk": plan["blk"], "sk_win": plan["win"],
+            "sk_first": plan["first"], "sk_recv": plan["recv_col"]}
+
+
 def segment_sum_windowed_arrays(messages, recv_col, blk, win, first,
                                 num_nodes: int,
                                 tile_e: int = DEFAULT_TILE_E,

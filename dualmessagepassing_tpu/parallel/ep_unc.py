@@ -31,9 +31,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..unc.model import UNCTrainModel
 
-# per-edge arrays sharded over 'ep'; everything else replicated
+# per-edge arrays sharded over 'ep'; everything else replicated. The sk_*
+# entries are the windowed-scatter-kernel pass plans (one per shard,
+# concatenated along axis 0 by attach_ep_scatter_plans so the same P('ep')
+# sharding hands each shard its own plan).
 EDGE_KEYS = ("senders", "receivers", "edge_type", "rev_flag", "edge_mask",
-             "edge_norm")
+             "edge_norm", "sk_blk", "sk_win", "sk_first", "sk_recv")
 
 
 def _shard_map(f, mesh, in_specs, out_specs):
@@ -72,6 +75,44 @@ def shard_sub(mesh: Mesh, sub: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]
 
 def pad_e_max(e_max: int, n_devices: int) -> int:
     return -(-e_max // n_devices) * n_devices
+
+
+def attach_ep_scatter_plans(padded: Dict[str, np.ndarray], n_shards: int,
+                            tile_e: Optional[int] = None,
+                            window: Optional[int] = None
+                            ) -> Dict[str, np.ndarray]:
+    """Windowed-kernel pass plans for every contiguous edge slice shard_sub
+    will create (host side, per batch).
+
+    Each shard's slice of the receiver-sorted stream is itself
+    receiver-sorted with its real edges as a prefix (pad_subgraph keeps
+    pads at the global tail), so a per-shard plan over the FULL node range
+    is valid; the model's per-shard partial aggregation is then completed
+    by the existing [V, H] psum (unc/model.py ep_axis). Plan shapes depend
+    only on (e_max/n_shards, v_max), so every batch of a run compiles to
+    one program."""
+    from ..ops.segment_kernel import (DEFAULT_TILE_E, DEFAULT_WINDOW,
+                                      plan_sk_arrays)
+
+    tile_e = tile_e or DEFAULT_TILE_E
+    window = window or DEFAULT_WINDOW
+    e_max = len(padded["receivers"])
+    if e_max % n_shards:
+        raise ValueError(f"e_max={e_max} not divisible by {n_shards}")
+    k = e_max // n_shards
+    v_max = len(padded["node_mask"])
+    recv = np.asarray(padded["receivers"])
+    mask = np.asarray(padded["edge_mask"])
+    parts = []
+    for s in range(n_shards):
+        m = mask[s * k: (s + 1) * k]
+        n_real = int(m.sum())
+        parts.append(plan_sk_arrays(recv[s * k: s * k + n_real],
+                                    v_max, k, tile_e, window))
+    out = dict(padded)
+    for key in parts[0]:
+        out[key] = np.concatenate([p[key] for p in parts], axis=0)
+    return out
 
 
 def make_ep_model(n_shards_or_mesh, **model_kwargs) -> UNCTrainModel:

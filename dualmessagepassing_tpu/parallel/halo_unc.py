@@ -40,10 +40,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..unc.model import UNCTrainModel
 from .ep_unc import _shard_map
 
-# arrays carrying a leading [n_shards] axis, sharded over 'ep'
+# arrays carrying a leading [n_shards] axis, sharded over 'ep' (sk_* =
+# per-shard windowed-scatter pass plans, built when scatter_plan=True)
 SHARD_KEYS = ("nid", "node_mask", "out_deg", "senders", "receivers",
               "edge_type", "rev_flag", "edge_mask", "edge_norm",
-              "send_idx", "send_mask")
+              "send_idx", "send_mask",
+              "sk_blk", "sk_win", "sk_first", "sk_recv")
 
 
 def halo_envelope(v_max: int, e_max: int, n_shards: int,
@@ -85,7 +87,8 @@ def _assign_owners_capped(senders, receivers, edge_mask, v_max, n_shards,
 
 
 def build_halo_sub(padded: Dict[str, np.ndarray], n_shards: int,
-                   vp: int, ep: int, b: int, method: str = "degree"
+                   vp: int, ep: int, b: int, method: str = "degree",
+                   scatter_plan: bool = False
                    ) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
     """Partition a `pad_subgraph` output for owner-sharded execution.
 
@@ -202,6 +205,17 @@ def build_halo_sub(padded: Dict[str, np.ndarray], n_shards: int,
     }
     if has_norm:
         dev["edge_norm"] = norm_sh
+    if scatter_plan:
+        # per-shard windowed-kernel pass plans: each shard's local
+        # receivers (rank within owner) are sorted (receiver-sortedness
+        # survives partitioning — test_build_halo_sub_invariants) and the
+        # aggregation is fully local, so the kernel writes [Vp] directly
+        from ..ops.segment_kernel import plan_sk_arrays
+
+        parts = [plan_sk_arrays(l_recv[s, : len(edge_perm[s])], vp, ep)
+                 for s in range(n_shards)]
+        for key in parts[0]:
+            dev[key] = np.stack([p[key] for p in parts])
     meta = {"owner": owner, "rank": rank, "owned_slice": owned_slice,
             "edge_perm": edge_perm, "vp": vp, "ep": ep, "b": b,
             "packed": packed}

@@ -355,11 +355,14 @@ def train_unc(
 
     # pad_subgraph sorts edges by receiver -> the sorted-scatter hint is
     # always valid here (1.04x full-step win, see unc/model.py:450); the
-    # halo builder preserves per-shard receiver-sortedness
-    # the windowed scatter kernel (ops/segment_kernel.py, 2.0-2.4x over
-    # XLA scatter at Yelp scale) is plumbed for the single-device path;
-    # under ep/halo sharding the per-shard plans are future work
-    windowed = scatter_backend == "windowed" and ep_mesh is None
+    # halo builder preserves per-shard receiver-sortedness.
+    # The windowed scatter kernel (ops/segment_kernel.py, 2.0-2.4x over
+    # XLA scatter at Yelp scale) composes with every sharding: single
+    # device via attach_scatter_plan, ep-psum via per-slice plans
+    # (attach_ep_scatter_plans), halo via per-owner plans
+    # (build_halo_sub(scatter_plan=True)) — plans ride the sub pytree
+    # through shard_map as traced arrays.
+    windowed = scatter_backend == "windowed"
     mkw = dict(
         num_nodes=num_nodes, num_rels=num_rels, h_dim=h_dim,
         nlabel=0, num_hidden_layers=n_layers, dropout=dropout,
@@ -377,9 +380,13 @@ def train_unc(
     def to_device(padded):
         if halo:
             dev, _meta = build_halo_sub(padded, ep_devices, vp_env, ep_env,
-                                        b_env)
+                                        b_env, scatter_plan=windowed)
             return shard_halo_sub(ep_mesh, dev)
         if ep_mesh is not None:
+            if windowed:
+                from ..parallel.ep_unc import attach_ep_scatter_plans
+
+                padded = attach_ep_scatter_plans(padded, ep_devices)
             return shard_sub(ep_mesh, padded)
         if windowed:
             padded = attach_scatter_plan(padded)
