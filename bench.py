@@ -142,8 +142,30 @@ def build_step(bsz: int):
         e_loss = jnp.mean(out["pred_e"] ** 2)
         return c_loss + 0.1 * (v_loss + e_loss)
 
+    # BENCH_CHUNKS=k scans the batch as k equal microbatches inside the
+    # one jitted step (identical mean gradient; each chunk's activations
+    # stay in VMEM instead of spilling [B, E, H] intermediates to HBM —
+    # see scm_driver.make_train_step(accum_chunks))
+    chunks = int(os.environ.get("BENCH_CHUNKS", "1"))
+
     def train_step(params, opt_state, pattern, graph, counts):
-        loss, grads = jax.value_and_grad(loss_fn)(params, pattern, graph, counts)
+        if chunks <= 1:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, pattern, graph, counts)
+        else:
+            def split(x):
+                return x.reshape((chunks, x.shape[0] // chunks) + x.shape[1:])
+
+            xs = jax.tree.map(split, (pattern, graph, counts))
+
+            def body(g_acc, chunk):
+                l, g = jax.value_and_grad(loss_fn)(params, *chunk)
+                return jax.tree.map(jnp.add, g_acc, g), l
+
+            g_sum, ls = jax.lax.scan(
+                body, jax.tree.map(jnp.zeros_like, params), xs)
+            grads = jax.tree.map(lambda g: g / chunks, g_sum)
+            loss = ls.mean()
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
@@ -232,6 +254,7 @@ def main():
         "flops_per_step": flops,
         "mfu": round(mfu, 4),
         "amp": os.environ.get("BENCH_AMP", "1") == "1",
+        "chunks": int(os.environ.get("BENCH_CHUNKS", "1")),
     }
     if scale_ratio is not None:
         out["scale_ratio_4x"] = round(scale_ratio, 2)

@@ -127,6 +127,11 @@ def add_train_config(parser):
     g.add_argument("--eval_batch_size", type=int, default=64)
     g.add_argument("--train_ratio", type=float, default=1.0)
     g.add_argument("--train_grad_steps", type=int, default=1)
+    # TPU-first extension: lax.scan the batch as N equal microbatches
+    # inside ONE jitted step (same gradient; keeps each chunk's
+    # activations in VMEM — large-batch HBM-spill lever, ARCHITECTURE.md
+    # §8.5). Batch size must be divisible by it.
+    g.add_argument("--train_microbatch_chunks", type=int, default=1)
     g.add_argument("--lr", type=float, default=1e-3)
     g.add_argument("--weight_decay", type=float, default=1e-5)
     g.add_argument("--max_grad_norm", type=float, default=8.0)

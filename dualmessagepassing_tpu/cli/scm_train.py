@@ -204,7 +204,9 @@ def main(argv=None):
     train_step = make_train_step(model, tx, config["bp_loss"],
                                  config["match_weights"],
                                  eval_metric=config["eval_metric"],
-                                 amp=config.get("amp", False))
+                                 amp=config.get("amp", False),
+                                 accum_chunks=config.get(
+                                     "train_microbatch_chunks", 1))
     eval_step = make_eval_step(model)
 
     sizes = {k: v.sizes() for k, v in datasets.items()}

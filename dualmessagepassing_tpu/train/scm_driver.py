@@ -69,14 +69,25 @@ def make_optimizer(lr: float, weight_decay: float = 1e-5,
 def make_train_step(model, tx, bp_loss: str = "MSE",
                     return_weights: str = "none",
                     eval_metric: Optional[str] = None,
-                    amp: bool = False) -> Callable:
+                    amp: bool = False,
+                    accum_chunks: int = 1) -> Callable:
     """Jitted (state, batch, scalars) -> (state, losses).
 
     amp=True runs the model forward/backward in bfloat16 (f32 master
     params and optimizer state; losses/regularizers in f32; the model's
     gate/table dtype pins follow utils.amp's trace-time compute dtype) —
     the flagship step is memory-feed-bound, so halving activation bytes
-    is the lever (ARCHITECTURE.md §11)."""
+    is the lever (ARCHITECTURE.md §11).
+
+    accum_chunks=k > 1 computes the SAME batch gradient as a lax.scan of
+    k sequential microbatches (grads and losses averaged over equal-size
+    chunks == full-batch mean; one optimizer update). This is a pure
+    TPU-memory lever: at large batch every fusion's [B, E, H]
+    intermediates round-trip HBM, while a chunk's working set stays in
+    VMEM — the v5e flagship step at bsz 2048 is markedly faster scanned
+    (ARCHITECTURE.md §8.5). Chunked dropout draws per-chunk RNGs and
+    BatchNorm (when present) sees chunks sequentially — both only change
+    stochastic details, not the estimator."""
 
     use_node_w = "node" in return_weights
     use_edge_w = "edge" in return_weights
@@ -91,13 +102,10 @@ def make_train_step(model, tx, bp_loss: str = "MSE",
             return w
         return fn(w[..., None])[..., 0]
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, pattern: GraphBatch, graph: GraphBatch,
-                   counts, node_weights, edge_weights,
-                   neg_slope, match_loss_w, match_reg_w, rep_reg_w,
-                   lr_mult, dropout_rng):
-        node_weights = refine("node", node_weights) if use_node_w else node_weights
-        edge_weights = refine("edge", edge_weights) if use_edge_w else edge_weights
+    def chunk_grads(params, batch_stats, pattern, graph, counts,
+                    node_weights, edge_weights, scal, dropout_rng):
+        """(grads, losses, new_stats) of the mean loss over one chunk."""
+        neg_slope, match_loss_w, match_reg_w, rep_reg_w = scal
 
         def loss_fn(params):
             if amp:
@@ -105,8 +113,8 @@ def make_train_step(model, tx, bp_loss: str = "MSE",
 
                 with compute_dtype_scope(jnp.bfloat16):
                     variables = {"params": cast_floats(params, jnp.bfloat16)}
-                    if state.batch_stats:
-                        variables["batch_stats"] = state.batch_stats
+                    if batch_stats:
+                        variables["batch_stats"] = batch_stats
                     out, mutated = model.apply(
                         variables, cast_floats(pattern, jnp.bfloat16),
                         cast_floats(graph, jnp.bfloat16), train=True,
@@ -115,8 +123,8 @@ def make_train_step(model, tx, bp_loss: str = "MSE",
                 out = cast_floats(out, jnp.float32)
             else:
                 variables = {"params": params}
-                if state.batch_stats:
-                    variables["batch_stats"] = state.batch_stats
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
                 out, mutated = model.apply(
                     variables, pattern, graph, train=True,
                     rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
@@ -130,8 +138,50 @@ def make_train_step(model, tx, bp_loss: str = "MSE",
             )
             return losses["total"], (losses, mutated.get("batch_stats", {}))
 
-        grads, (losses, new_stats) = jax.grad(loss_fn, has_aux=True)(
-            state.params)
+        grads, (losses, new_stats) = jax.grad(loss_fn, has_aux=True)(params)
+        return grads, losses, new_stats
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, pattern: GraphBatch, graph: GraphBatch,
+                   counts, node_weights, edge_weights,
+                   neg_slope, match_loss_w, match_reg_w, rep_reg_w,
+                   lr_mult, dropout_rng):
+        node_weights = refine("node", node_weights) if use_node_w else node_weights
+        edge_weights = refine("edge", edge_weights) if use_edge_w else edge_weights
+        scal = (neg_slope, match_loss_w, match_reg_w, rep_reg_w)
+        batch = (pattern, graph, counts, node_weights, edge_weights)
+
+        if accum_chunks <= 1:
+            grads, losses, new_stats = chunk_grads(
+                state.params, state.batch_stats, *batch, scal, dropout_rng)
+        else:
+            k = accum_chunks
+            bsz = counts.shape[0]
+            if bsz % k:
+                raise ValueError(
+                    f"batch size {bsz} not divisible by accum_chunks {k}")
+
+            def split(x):
+                return x.reshape((k, x.shape[0] // k) + x.shape[1:])
+
+            chunks = jax.tree.map(split, batch)
+            rngs = jax.random.split(dropout_rng, k)
+
+            def body(carry, xs):
+                g_acc, stats = carry
+                chunk, rng = xs
+                g, losses, new_stats = chunk_grads(
+                    state.params, stats, *chunk, scal, rng)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                return (g_acc, new_stats if stats else stats), losses
+
+            g0 = jax.tree.map(jnp.zeros_like, state.params)
+            (g_sum, new_stats), per_chunk = jax.lax.scan(
+                body, (g0, state.batch_stats), (chunks, rngs))
+            grads = jax.tree.map(lambda g: g / k, g_sum)
+            # equal-size chunks -> mean over chunk means == batch mean
+            losses = jax.tree.map(lambda x: jnp.mean(x, axis=0), per_chunk)
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: u * lr_mult, updates)
         params = optax.apply_updates(state.params, updates)
