@@ -54,6 +54,9 @@ def get_args(argv=None):
                    help="node-aggregation backend: 'windowed' uses the "
                         "pass-per-window Pallas kernel (single-device, "
                         "DMPNN; 2.0-2.4x over XLA scatter at Yelp scale)")
+    p.add_argument("--amp", type=str, default="False",
+                   help="bf16 backbone forward/backward with f32 master "
+                        "params and f32 loss (utils/amp)")
     return p.parse_args(argv)
 
 
@@ -95,7 +98,8 @@ def main(argv=None):
             graph_split_size=args.graph_split_size, sampler=args.sampler,
             sample_depth=args.sample_depth, sample_width=args.sample_width,
             n_epochs=args.n_epochs, grad_norm=args.grad_norm,
-            backbone=args.model, node_attri=attrs, seed=args.seed, log=log)
+            backbone=args.model, node_attri=attrs, seed=args.seed,
+            amp=args.amp.lower() in ("true", "1"), log=log)
         embs = np.asarray(variables["params"]["model"]["node_emb"])
     else:
         triplets, n, r, attrs = load_unsupervised(
@@ -112,7 +116,8 @@ def main(argv=None):
             backbone=args.model, seed_nodes=seed_nodes or None,
             node_attri=attrs, seed=args.seed,
             ep_devices=args.ep_devices or None, ep_mode=args.ep_mode,
-            scatter_backend=args.scatter_backend, log=log)
+            scatter_backend=args.scatter_backend,
+            amp=args.amp.lower() in ("true", "1"), log=log)
 
     log("start output...")
     header = str(vars(args))

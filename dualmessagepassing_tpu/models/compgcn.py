@@ -39,10 +39,13 @@ def comp_func(head: jnp.ndarray, relation: jnp.ndarray, comp_opt: str) -> jnp.nd
     if comp_opt == "mult":
         return head * relation
     if comp_opt == "corr":
+        # XLA RFFT accepts f32/f64 only; under bf16 compute (utils/amp)
+        # run the correlation in f32 and return the compute dtype
         n = head.shape[-1]
-        fh = jnp.fft.rfft(head, axis=-1)
-        fr = jnp.fft.rfft(relation, axis=-1)
-        return jnp.fft.irfft(jnp.conj(fh) * fr, n=n, axis=-1)
+        fh = jnp.fft.rfft(head.astype(jnp.float32), axis=-1)
+        fr = jnp.fft.rfft(relation.astype(jnp.float32), axis=-1)
+        out = jnp.fft.irfft(jnp.conj(fh) * fr, n=n, axis=-1)
+        return out.astype(head.dtype)
     raise NotImplementedError(f"comp_opt {comp_opt}")
 
 

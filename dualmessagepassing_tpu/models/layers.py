@@ -69,17 +69,21 @@ class MaskedBatchNorm(nn.Module):
             return jax.lax.psum(v, self.axis_name) if self.axis_name else v
 
         if train:
+            # statistics ALWAYS in f32: bf16 inputs (utils/amp) cannot
+            # represent row counts above 256 and sum-reductions over large
+            # element tables accumulate bf16 rounding — a no-op for f32
+            xf = x.astype(jnp.float32)
             if mask is None:
-                cnt = _psum(jnp.asarray(x[..., 0].size, x.dtype))
-                mean = _psum(jnp.sum(x, axis=tuple(range(x.ndim - 1)))) / cnt
-                var = _psum(jnp.sum((x - mean) ** 2,
+                cnt = _psum(jnp.asarray(x[..., 0].size, jnp.float32))
+                mean = _psum(jnp.sum(xf, axis=tuple(range(x.ndim - 1)))) / cnt
+                var = _psum(jnp.sum((xf - mean) ** 2,
                                     axis=tuple(range(x.ndim - 1)))) / cnt
             else:
-                m = mask.astype(x.dtype)[..., None]
+                m = mask.astype(jnp.float32)[..., None]
                 cnt = jnp.maximum(_psum(jnp.sum(m)), 1.0)
-                mean = _psum(jnp.sum(x * m, axis=tuple(range(x.ndim - 1)))) / cnt
+                mean = _psum(jnp.sum(xf * m, axis=tuple(range(x.ndim - 1)))) / cnt
                 var = (
-                    _psum(jnp.sum(((x - mean) ** 2) * m,
+                    _psum(jnp.sum(((xf - mean) ** 2) * m,
                                   axis=tuple(range(x.ndim - 1)))) / cnt
                 )
             if not self.is_initializing():
@@ -90,7 +94,8 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(
+            var + self.epsilon).astype(x.dtype)
         return y * gamma + beta
 
 

@@ -153,7 +153,8 @@ def make_ep_apply(model: UNCTrainModel, mesh: Mesh) -> Callable:
     return fwd
 
 
-def make_ep_train_step(model: UNCTrainModel, tx, mesh: Mesh) -> Callable:
+def make_ep_train_step(model: UNCTrainModel, tx, mesh: Mesh,
+                       amp: bool = False) -> Callable:
     """Jitted edge-partitioned unsupervised train step with the FULL loss:
     DistMult BCE + reg_param * (w_rel/embedding/edge_fc-alignment regs)
     (reference model.py:691-723), Adam/any-optax update.
@@ -162,8 +163,12 @@ def make_ep_train_step(model: UNCTrainModel, tx, mesh: Mesh) -> Callable:
       (params, opt_state, batch_stats, sub, dropout_rng)
         -> (params, opt_state, batch_stats, loss)
     Parameter gradients come out all-reduced by shard_map's transpose.
+    amp=True runs the backbone in bf16 with f32 master params / loss
+    (unc.model.apply_unc_forward).
     """
     import optax
+
+    from ..unc.model import apply_unc_forward
 
     @jax.jit
     def step(params, opt_state, batch_stats, sub, dropout_rng):
@@ -171,18 +176,14 @@ def make_ep_train_step(model: UNCTrainModel, tx, mesh: Mesh) -> Callable:
 
         def loss_fn(p):
             def inner(p, batch_stats, sub, rng):
-                variables = {"params": p}
-                if batch_stats:
-                    variables["batch_stats"] = batch_stats
-                (out, _pred), mutated = model.apply(
-                    variables, sub, train=True, mutable=["batch_stats"],
-                    rngs={"dropout": rng})
+                (out, _pred), new_stats = apply_unc_forward(
+                    model, p, batch_stats, sub, rng, amp=amp)
                 loss = model.apply(
-                    variables, out, sub["edge_type"], sub["edge_mask"],
+                    {"params": p}, out, sub["edge_type"], sub["edge_mask"],
                     sub["samples"], sub["labels"], sub["sample_mask"],
                     sub["node_mask"],
                     method=UNCTrainModel.unsupervised_loss)
-                return loss, mutated.get("batch_stats", {})
+                return loss, new_stats
 
             # loss and BN stats are psum-completed inside the model, hence
             # identical on every shard -> replicated out_specs

@@ -278,13 +278,18 @@ def make_halo_apply(model: UNCTrainModel, mesh: Mesh) -> Callable:
     return fwd
 
 
-def make_halo_train_step(model: UNCTrainModel, tx, mesh: Mesh) -> Callable:
+def make_halo_train_step(model: UNCTrainModel, tx, mesh: Mesh,
+                         amp: bool = False) -> Callable:
     """Jitted owner-sharded unsupervised train step, same signature as
     make_unc_train_step / make_ep_train_step:
       (params, opt_state, batch_stats, dev, dropout_rng)
         -> (params, opt_state, batch_stats, loss)
+    amp=True runs the backbone in bf16 with f32 master params / loss
+    (unc.model.apply_unc_forward).
     """
     import optax
+
+    from ..unc.model import apply_unc_forward
 
     @jax.jit
     def step(params, opt_state, batch_stats, dev, dropout_rng):
@@ -293,18 +298,14 @@ def make_halo_train_step(model: UNCTrainModel, tx, mesh: Mesh) -> Callable:
         def loss_fn(p):
             def inner(p, batch_stats, dev, rng):
                 sub = _squeeze_local(dev)
-                variables = {"params": p}
-                if batch_stats:
-                    variables["batch_stats"] = batch_stats
-                (out, _pred), mutated = model.apply(
-                    variables, sub, train=True, mutable=["batch_stats"],
-                    rngs={"dropout": rng})
+                (out, _pred), new_stats = apply_unc_forward(
+                    model, p, batch_stats, sub, rng, amp=amp)
                 loss = model.apply(
-                    variables, out, sub["edge_type"], sub["edge_mask"],
+                    {"params": p}, out, sub["edge_type"], sub["edge_mask"],
                     sub["samples"], sub["labels"], sub["sample_mask"],
                     sub["node_mask"],
                     method=UNCTrainModel.unsupervised_loss)
-                return loss, mutated.get("batch_stats", {})
+                return loss, new_stats
 
             return _shard_map(
                 inner, mesh,

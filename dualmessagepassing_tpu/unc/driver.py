@@ -39,22 +39,23 @@ def make_unc_optimizer(lr: float, total_steps: int, grad_norm: float = 1.0):
     )
 
 
-def make_unc_train_step(model: UNCTrainModel, tx) -> Callable:
+def make_unc_train_step(model: UNCTrainModel, tx,
+                        amp: bool = False) -> Callable:
+    """amp=True: bf16 backbone forward/backward with f32 master params
+    and f32 loss (unc.model.apply_unc_forward)."""
+    from .model import apply_unc_forward
+
     @jax.jit
     def step(params, opt_state, batch_stats, sub, dropout_rng):
         def loss_fn(p):
-            variables = {"params": p}
-            if batch_stats:
-                variables["batch_stats"] = batch_stats
-            (out, pred), mutated = model.apply(
-                variables, sub, train=True, mutable=["batch_stats"],
-                rngs={"dropout": dropout_rng})
+            (out, pred), new_stats = apply_unc_forward(
+                model, p, batch_stats, sub, dropout_rng, amp=amp)
             loss = model.apply(
-                variables, out, sub["edge_type"], sub["edge_mask"],
+                {"params": p}, out, sub["edge_type"], sub["edge_mask"],
                 sub["samples"], sub["labels"], sub["sample_mask"],
                 sub["node_mask"],
                 method=UNCTrainModel.unsupervised_loss)
-            return loss, mutated.get("batch_stats", {})
+            return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -99,22 +100,21 @@ def sample_batch(graph: WholeGraph, edges: np.ndarray, sampler: str,
                         edge_norm=norm)
 
 
-def make_unc_supervised_step(model: UNCTrainModel, tx, multi: bool) -> Callable:
+def make_unc_supervised_step(model: UNCTrainModel, tx, multi: bool,
+                             amp: bool = False) -> Callable:
+    from .model import apply_unc_forward
+
     @jax.jit
     def step(params, opt_state, batch_stats, sub, matched_labels,
              matched_index, matched_mask, dropout_rng):
         def loss_fn(p):
-            variables = {"params": p}
-            if batch_stats:
-                variables["batch_stats"] = batch_stats
-            (out, pred), mutated = model.apply(
-                variables, sub, train=True, mutable=["batch_stats"],
-                rngs={"dropout": dropout_rng})
+            (out, pred), new_stats = apply_unc_forward(
+                model, p, batch_stats, sub, dropout_rng, amp=amp)
             loss = model.apply(
-                variables, out, sub["edge_type"], sub["edge_mask"], pred,
+                {"params": p}, out, sub["edge_type"], sub["edge_mask"], pred,
                 matched_labels, matched_index, matched_mask, multi,
                 method=UNCTrainModel.supervised_loss)
-            return loss, mutated.get("batch_stats", {})
+            return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -153,6 +153,7 @@ def train_unc_supervised(
     e_max: Optional[int] = None,
     seed: int = 0,
     prefetch: int = 2,
+    amp: bool = False,
     log: Callable[[str], None] = print,
 ):
     """Semi-supervised UNC training (main.py supervised branch +
@@ -221,7 +222,7 @@ def train_unc_supervised(
     n_batches = math.ceil(len(triplets) / graph_batch_size)
     tx = make_unc_optimizer(lr, n_epochs * n_batches, grad_norm)
     opt_state = tx.init(params)
-    step = make_unc_supervised_step(model, tx, multi)
+    step = make_unc_supervised_step(model, tx, multi, amp=amp)
     # AOT-compile before sampler threads start (same relay hazard as
     # train_unc: compilation racing live worker threads wedges)
     log("compiling train step (AOT)...")
@@ -293,6 +294,7 @@ def train_unc(
     ep_devices: Optional[int] = None,
     ep_mode: str = "psum",
     scatter_backend: str = "xla",
+    amp: bool = False,
     log: Callable[[str], None] = print,
 ):
     """Full UNC pipeline -> (node_embeddings [N, h], coverage fraction).
@@ -413,11 +415,11 @@ def train_unc(
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
     if halo:
-        step = make_halo_train_step(model, tx, ep_mesh)
+        step = make_halo_train_step(model, tx, ep_mesh, amp=amp)
     elif ep_mesh is not None:
-        step = make_ep_train_step(model, tx, ep_mesh)
+        step = make_ep_train_step(model, tx, ep_mesh, amp=amp)
     else:
-        step = make_unc_train_step(model, tx)
+        step = make_unc_train_step(model, tx, amp=amp)
     # AOT-compile before the sampler threads start: remote-dispatch
     # backends wedge when jit compilation races live worker threads
     log("compiling train step (AOT)...")

@@ -42,6 +42,17 @@ def _xavier(scale=1.0):
     return scaled(xavier_uniform(1.0), scale)
 
 
+def _segment_sum_f32(msg, receivers, v, h, sorted_edges):
+    """XLA scatter-add that ACCUMULATES in f32: a bf16 accumulator
+    (utils/amp compute dtype) loses ~0.4% per 2^8 summands, and hub nodes
+    aggregate thousands of edges. No-op for f32 inputs. (The windowed
+    kernel accumulates in f32 internally already.)"""
+    acc = jnp.float32 if msg.dtype == jnp.bfloat16 else msg.dtype
+    agg = jnp.zeros((v, h), acc).at[receivers].add(
+        msg.astype(acc), indices_are_sorted=sorted_edges)
+    return agg.astype(msg.dtype)
+
+
 def _halo_table(node_feat, sub, axis):
     """Owner-sharded gather table: [owned ; halo ; zero dump].
 
@@ -167,7 +178,8 @@ class DualGraphConv(nn.Module):
         node_msg = jnp.where(rev, edge_feat @ w_out_k,
                              -(edge_feat @ w_in_k))
         if edge_norm is not None:
-            node_msg = node_msg * edge_norm
+            # edge_norm stays a f32 input; follow the compute dtype
+            node_msg = node_msg * edge_norm.astype(node_msg.dtype)
         node_msg = jnp.where(e_mask[:, None], node_msg, 0.0)
         if windowed:
             from ..ops.segment_kernel import segment_sum_windowed_arrays
@@ -176,8 +188,8 @@ class DualGraphConv(nn.Module):
                 node_msg, sub["sk_recv"], sub["sk_blk"], sub["sk_win"],
                 sub["sk_first"], num_nodes=v, out_width=h)
         else:
-            agg = jnp.zeros((v, h), node_msg.dtype).at[receivers].add(
-                node_msg, indices_are_sorted=self.sorted_edges)
+            agg = _segment_sum_f32(node_msg, receivers, v, h,
+                                   self.sorted_edges)
         if self.ep_axis and not owner_sharded:
             # owner sharding places every edge at its receiver's owner, so
             # the aggregation is complete without any collective
@@ -199,7 +211,10 @@ class DualGraphConv(nn.Module):
                 e_mask.astype(jnp.float32))
             if self.ep_axis:
                 out_deg = jax.lax.psum(out_deg, self.ep_axis)
-        d = jnp.log2(1.0 + out_deg)[receivers][:, None]
+        # degrees stay f32; cast the log term so bf16 compute (utils/amp)
+        # is not silently promoted back through the edge stream
+        d = jnp.log2(1.0 + out_deg)[receivers][:, None].astype(
+            edge_feat.dtype)
         add = 2.0 * (1.0 + d) * (edge_feat @ (w_src - w_dst))
         e_out = edge_feat @ w_eloop + edge_msg + add
         if self.use_bias:
@@ -308,7 +323,7 @@ class CompGraphConv(nn.Module):
         rev = sub["rev_flag"][:, None]
         msg = jnp.where(rev, comp @ w_out, comp @ w_in)
         if edge_norm is not None:
-            msg = msg * edge_norm
+            msg = msg * edge_norm.astype(msg.dtype)
         msg = jnp.where(sub["edge_mask"][:, None], msg, 0.0)
         agg = jnp.zeros((v, h), msg.dtype).at[sub["receivers"]].add(
             msg, indices_are_sorted=self.sorted_edges)
@@ -387,7 +402,7 @@ class RelGraphConvFlat(nn.Module):
                  if owner_sharded else node_feat)
         src = table[sub["senders"]]
         if self.use_norm and edge_norm is not None:
-            src = src * edge_norm
+            src = src * edge_norm.astype(src.dtype)
         out = _flat_relation_agg(sub, src, weights,
                                  sorted_edges=self.sorted_edges,
                                  ep_axis=self.ep_axis,
@@ -489,13 +504,18 @@ def _input_embeddings(mdl, sub, rel_stream: bool):
     EmbeddingLayerAttri (frozen attributes), or MultiHotEmbeddingLayer
     (frozen multihot encoding x learned projection, scale
     1/sqrt(d * enc_len) — Model/DMPNN/src/model.py:12-64)."""
+    from ..utils.amp import compute_dtype
+
     if mdl.node_attri is not None:
-        h = jnp.asarray(mdl.node_attri)[sub["nid"]]
+        # frozen attribute table follows the trace-time compute dtype so
+        # bf16 runs (utils/amp) start bf16 at the input
+        h = jnp.asarray(mdl.node_attri, dtype=compute_dtype())[sub["nid"]]
     elif getattr(mdl, "multihot_input", False):
         from ..ops.encoding import get_enc_len, multihot_table
 
         enc_len = get_enc_len(mdl.num_nodes - 1, 2)
-        table = jnp.asarray(multihot_table(mdl.num_nodes, 2))
+        table = jnp.asarray(multihot_table(mdl.num_nodes, 2),
+                            dtype=compute_dtype())
         scale = 1.0 / jnp.sqrt(jnp.asarray(float(mdl.h_dim * enc_len)))
         proj = mdl.param(
             "node_emb_proj",
@@ -682,6 +702,41 @@ class UNCTrainModel(nn.Module):
         predict_loss = jnp.sum(jnp.where(matched_mask, per, 0.0)) / cnt
         reg = self.regularization(embedding, edge_type, edge_mask)
         return predict_loss + self.reg_param * reg  # node_mask via kwargs
+
+
+def apply_unc_forward(model: "UNCTrainModel", params, batch_stats, sub,
+                      dropout_rng, amp: bool = False, train: bool = True):
+    """Forward apply shared by every UNC train-step maker (single-device,
+    ep-psum, halo), with optional bf16 mixed precision.
+
+    amp=True casts params to bf16 at the boundary and runs the backbone
+    under utils/amp's trace-time compute dtype (frozen tables and norm/
+    degree pins follow it); outputs come back cast to f32 so the DistMult
+    score, regularizers, and supervised head run in f32 against the
+    MASTER params. Aggregation accumulators and BatchNorm statistics stay
+    f32 inside the model (_segment_sum_f32, MaskedBatchNorm).
+
+    Returns ((out_tuple, pred), new_batch_stats)."""
+    if amp:
+        from ..utils.amp import cast_floats, compute_dtype_scope
+
+        with compute_dtype_scope(jnp.bfloat16):
+            variables = {"params": cast_floats(params, jnp.bfloat16)}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            (out, pred), mutated = model.apply(
+                variables, sub, train=train, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng})
+        out = cast_floats(out, jnp.float32)
+        pred = cast_floats(pred, jnp.float32)
+    else:
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        (out, pred), mutated = model.apply(
+            variables, sub, train=train, mutable=["batch_stats"],
+            rngs={"dropout": dropout_rng})
+    return (out, pred), mutated.get("batch_stats", {})
 
 
 def init_unc_variables(model: "UNCTrainModel", key, sub):
