@@ -68,10 +68,18 @@ def _assign_owners_capped(senders, receivers, edge_mask, v_max, n_shards,
     fewest owned in-edges among shards that still have room (balances the
     local segment-sum while respecting the static envelope).
     "range": contiguous row ranges (locality-preserving for generators
-    that wire locally)."""
+    that wire locally).
+    "bfs": METIS-style greedy region growing — each shard grows from an
+    un-owned high-degree seed by repeatedly claiming the frontier node
+    with the most already-owned neighbors (locality => fewer boundary
+    sender rows => smaller per-layer all_to_all; measured boundary
+    reduction on community graphs in tests/test_halo_unc.py)."""
     if method == "range":
         return (np.arange(v_max) // vp).astype(np.int32)
     in_deg = np.bincount(receivers[edge_mask], minlength=v_max)
+    if method == "bfs":
+        return _assign_owners_bfs(senders, receivers, edge_mask, v_max,
+                                  n_shards, vp, in_deg)
     order = np.argsort(-in_deg, kind="stable")
     owner = np.zeros(v_max, np.int32)
     load = np.zeros(n_shards, np.int64)
@@ -83,6 +91,54 @@ def _assign_owners_capped(senders, receivers, edge_mask, v_max, n_shards,
         owner[v] = s
         load[s] += in_deg[v]
         rows[s] += 1
+    return owner
+
+
+def _assign_owners_bfs(senders, receivers, edge_mask, v_max, n_shards,
+                       vp, in_deg):
+    """Greedy region growing (coarse METIS idea, host-side numpy).
+
+    Shards take turns claiming one node each: the frontier candidate with
+    the most edges into the shard's already-owned set (ties broken toward
+    high degree), falling back to the highest-degree unclaimed node when
+    the frontier is exhausted (disconnected components). Each shard owns
+    at most vp rows, so the static halo envelope always holds."""
+    s_real = senders[edge_mask]
+    r_real = receivers[edge_mask]
+    # undirected adjacency in CSR form for neighbor scans
+    u = np.concatenate([s_real, r_real])
+    w = np.concatenate([r_real, s_real])
+    order = np.argsort(u, kind="stable")
+    u, w = u[order], w[order]
+    starts = np.searchsorted(u, np.arange(v_max + 1))
+
+    owner = np.full(v_max, -1, np.int32)
+    rows = np.zeros(n_shards, np.int64)
+    # affinity[s, v]: #edges between v and shard s's owned set so far
+    affinity = np.zeros((n_shards, v_max), np.int32)
+    deg_rank = np.argsort(-in_deg, kind="stable")
+    seed_ptr = 0
+
+    def claim(s, v):
+        nonlocal seed_ptr
+        owner[v] = s
+        rows[s] += 1
+        nbrs = w[starts[v]: starts[v + 1]]
+        if len(nbrs):
+            np.add.at(affinity[s], nbrs, 1)
+
+    for _ in range(v_max):
+        # round-robin over shards with room keeps sizes balanced
+        s = int(np.argmin(np.where(rows < vp, rows, np.iinfo(np.int64).max)))
+        aff = np.where(owner < 0, affinity[s], -1)
+        v = int(np.argmax(aff))
+        if aff[v] <= 0:
+            while seed_ptr < v_max and owner[deg_rank[seed_ptr]] >= 0:
+                seed_ptr += 1
+            if seed_ptr >= v_max:
+                break
+            v = int(deg_rank[seed_ptr])
+        claim(s, v)
     return owner
 
 

@@ -293,6 +293,7 @@ def train_unc(
     prefetch: int = 2,
     ep_devices: Optional[int] = None,
     ep_mode: str = "psum",
+    ep_partition: str = "degree",   # halo node partitioner: degree|range|bfs
     scatter_backend: str = "xla",
     amp: bool = False,
     log: Callable[[str], None] = print,
@@ -382,7 +383,8 @@ def train_unc(
     def to_device(padded):
         if halo:
             dev, _meta = build_halo_sub(padded, ep_devices, vp_env, ep_env,
-                                        b_env, scatter_plan=windowed)
+                                        b_env, method=ep_partition,
+                                        scatter_plan=windowed)
             return shard_halo_sub(ep_mesh, dev)
         if ep_mesh is not None:
             if windowed:

@@ -352,3 +352,64 @@ def test_train_unc_halo_windowed_end_to_end(rng):
     assert embs.shape == (25, 8)
     assert coverage > 0.9
     assert np.isfinite(embs).all()
+
+
+def test_bfs_partitioner_correct_and_reduces_boundary(rng):
+    """On a ring-of-cliques graph the BFS region-growing partitioner must
+    (a) produce a correct owner-sharded forward (== single device) and
+    (b) export strictly fewer boundary rows than the locality-blind
+    degree partitioner."""
+    import dualmessagepassing_tpu.unc.data as UD
+
+    # 8 cliques of 6 nodes, one bridge edge between consecutive cliques
+    n_cliq, cs = 8, 6
+    n = n_cliq * cs
+    srcs, dsts = [], []
+    for c in range(n_cliq):
+        base = c * cs
+        for i in range(cs):
+            for j in range(cs):
+                if i != j:
+                    srcs.append(base + i)
+                    dsts.append(base + j)
+        srcs.append(base)
+        dsts.append(((c + 1) % n_cliq) * cs)
+    rel = np.zeros(len(srcs), np.int64)
+    t = np.stack([np.asarray(srcs), rel, np.asarray(dsts)], 1).astype(np.int64)
+    g = UD.WholeGraph(n, 1, t)
+    sub = UD.sample_subgraph_by_randomwalks(
+        g, np.arange(n), depth=2, width=6, rng=rng)
+    samples = t[:4].copy()
+    lut = {int(v): i for i, v in enumerate(sub["nid"])}
+    samples[:, 0] = [lut.get(int(x), 0) for x in samples[:, 0]]
+    samples[:, 2] = [lut.get(int(x), 0) for x in samples[:, 2]]
+    labels = np.ones(len(samples), np.float32)
+    padded = UD.pad_subgraph(sub, samples, labels, n, len(sub["senders"]) + 8,
+                             8, edge_norm=UD.compute_edgenorm(sub))
+
+    vp, ep, b = halo_envelope(n, len(padded["senders"]), N_SHARDS)
+
+    def boundary_rows(method):
+        dev, meta = build_halo_sub(padded, N_SHARDS, vp, ep, b,
+                                   method=method)
+        return dev, meta, int(dev["send_mask"].sum())
+
+    dev_b, meta_b, rows_bfs = boundary_rows("bfs")
+    _dev_d, _meta_d, rows_deg = boundary_rows("degree")
+    assert rows_bfs < rows_deg, (rows_bfs, rows_deg)
+
+    # correctness of the bfs-partitioned forward
+    sub_dev = {k: jnp.asarray(v) for k, v in padded.items()}
+    kw = dict(num_nodes=n, num_rels=1, h_dim=8, nlabel=0,
+              num_hidden_layers=2, dropout=0.0, reg_param=0.01,
+              backbone="DMPNN")
+    ref_model = UNCTrainModel(**kw)
+    variables = init_unc_variables(ref_model, jax.random.PRNGKey(0), sub_dev)
+    ref_out, _ = ref_model.apply(variables, sub_dev, train=False)
+    mesh = mesh8()
+    halo_model = UNCTrainModel(ep_axis="ep", node_sharding="owner", **kw)
+    with mesh:
+        halo_out, _ = make_halo_apply(halo_model, mesh)(
+            variables, shard_halo_sub(mesh, dev_b))
+    np.testing.assert_allclose(unshard_halo_nodes(meta_b, halo_out[0]),
+                               np.asarray(ref_out[0]), atol=1e-5, rtol=1e-5)
