@@ -27,13 +27,38 @@ class Dense(nn.Module):
     activation: str = "none"
 
     @nn.compact
-    def __call__(self, x):
-        w = self.param(
-            "kernel",
-            get_initializer(self.init, self.activation),
-            (x.shape[-1], self.features),
-        )
-        y = x @ w
+    def __call__(self, x=None, parts=None):
+        """x @ W + b, or — with `parts` — the concat-free equivalent
+        `concat(parts, -1) @ W + b == sum_i parts[i] @ W[off_i:off_i+k_i]`.
+
+        `parts` avoids materializing wide concatenations feeding the
+        matmul (the flagship's [B, E, 4h+2] weight-head input cost
+        ~2 ms/step at bsz 2048 as a real HBM tensor); broadcastable
+        parts (e.g. a per-graph [B, 1, h] row against per-element
+        [B, L, h] streams) contribute a rank-broadcast partial product
+        that XLA adds without expansion. Parameters are IDENTICAL to the
+        concat form (one kernel sized by the summed width)."""
+        if parts is not None:
+            din = sum(p.shape[-1] for p in parts)
+            w = self.param(
+                "kernel",
+                get_initializer(self.init, self.activation),
+                (din, self.features),
+            )
+            off = 0
+            y = None
+            for p in parts:
+                k = p.shape[-1]
+                term = p @ w[off: off + k]
+                y = term if y is None else y + term
+                off += k
+        else:
+            w = self.param(
+                "kernel",
+                get_initializer(self.init, self.activation),
+                (x.shape[-1], self.features),
+            )
+            y = x @ w
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b

@@ -85,15 +85,19 @@ class PredictNet(nn.Module):
         g_el = drop(g_el, deterministic=not train)
 
         if self.return_weights:
-            pe = jnp.broadcast_to(p[:, None, :], (bsz, g_len, h))
-            pl_e = jnp.broadcast_to(pl[:, :, None], (bsz, g_len, 1))
-            pli_e = jnp.broadcast_to(pl_inv[:, :, None], (bsz, g_len, 1))
-            w = jnp.concatenate([pe, g_el, g_el - pe, g_el * pe, pl_e, pli_e], axis=2)
-            w = Dense(h, init="normal", activation=self.act, name="weight_fc1")(w)
+            # concat-free weight head (Dense parts=...): the [B, Lg, 4h+2]
+            # input tensor never materializes — per-graph rows ([B, 1, *])
+            # ride broadcasting through their partial products. Same
+            # parameters and math as the reference concat (pred.py:87-156).
+            pe = p[:, None, :]                    # [B, 1, h]
+            pl_e = pl[:, :, None]                 # [B, 1, 1]
+            pli_e = pl_inv[:, :, None]
+            w = Dense(h, init="normal", activation=self.act,
+                      name="weight_fc1")(
+                parts=[pe, g_el, g_el - pe, g_el * pe, pl_e, pli_e])
             w = act_fn(w)
-            w = Dense(1, init="zero", activation=self.act, name="weight_fc2")(
-                jnp.concatenate([w, pl_e, pli_e], axis=2)
-            )
+            w = Dense(1, init="zero", activation=self.act,
+                      name="weight_fc2")(parts=[w, pl_e, pli_e])
             w = w[..., 0]
         else:
             w = None

@@ -497,20 +497,21 @@ class DIAMNet(nn.Module):
             else:
                 p = jnp.sum(p * p_mask[..., None], axis=1) / jnp.maximum(
                     jnp.max(pl), 1.0)
-            p = jnp.broadcast_to(p[:, None, :], (bsz, g_len, h))
+            p = p[:, None, :]                    # [B, 1, h]
 
             g = Dense(h, init="normal", activation=self.act, name="g_fc")(g_rep)
             g = m_attn(g, m, m, query_mask=g_mask, key_mask=m_mask, train=train)
             g = drop(g, deterministic=not train)
 
-            pl_e = jnp.broadcast_to(pl[:, :, None], (bsz, g_len, 1))
-            pli_e = jnp.broadcast_to(pl_inv[:, :, None], (bsz, g_len, 1))
-            w = jnp.concatenate([p, g, g - p, g * p, pl_e, pli_e], axis=2)
+            # concat-free weight head (Dense parts=..., see models/pred.py)
+            pl_e = pl[:, :, None]                # [B, 1, 1]
+            pli_e = pl_inv[:, :, None]
             w = Dense(h, init="normal", activation=self.act,
-                      name="weight_fc1")(w)
+                      name="weight_fc1")(
+                parts=[p, g, g - p, g * p, pl_e, pli_e])
             w = act_fn(w)
             w = Dense(1, init="zero", name="weight_fc2")(
-                jnp.concatenate([w, pl_e, pli_e], axis=2))[..., 0]
+                parts=[w, pl_e, pli_e])[..., 0]
         else:
             w = None
 

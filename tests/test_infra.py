@@ -178,3 +178,29 @@ def test_expand_params():
     assert w[:2].sum() == 0 and w[:, :2].sum() == 0
     np.testing.assert_array_equal(np.asarray(out["fc"]["bias"]), [1.0, 2.0])
     np.testing.assert_array_equal(np.asarray(out["extra"]["w"]), 7.0 * np.ones((2, 2)))
+
+
+def test_dense_parts_equals_concat(rng):
+    """Dense(parts=[...]) is the concat-free equivalent of Dense(concat):
+    identical params, identical output — incl. rank-broadcast parts."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dualmessagepassing_tpu.models.layers import Dense
+
+    b, l, h = 3, 5, 4
+    g = jnp.asarray(rng.normal(size=(b, l, h)), jnp.float32)
+    p = jnp.asarray(rng.normal(size=(b, 1, h)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(b, 1, 1)), jnp.float32)
+
+    dense = Dense(6, init="normal", activation="relu")
+    full = jnp.concatenate(
+        [jnp.broadcast_to(p, (b, l, h)), g, g - p, g * p,
+         jnp.broadcast_to(s, (b, l, 1))], axis=2)
+    # Dense's `init` FIELD shadows Module.init — call it unbound
+    import flax.linen as nn
+    params = nn.Module.init(dense, jax.random.PRNGKey(0), full)
+    y_cat = dense.apply(params, full)
+    y_parts = dense.apply(params, parts=[p, g, g - p, g * p, s])
+    np.testing.assert_allclose(np.asarray(y_cat), np.asarray(y_parts),
+                               atol=1e-5, rtol=1e-5)
