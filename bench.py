@@ -23,6 +23,10 @@ By default the step runs the production mixed-precision configuration
 (bf16 compute, f32 master params — utils/amp.py, validated by
 tests/test_amp.py; disclosed as "amp": true in the JSON). BENCH_AMP=0
 measures pure f32: 90.9 ms vs 51.7 ms at bsz 2048 on v5e (1.76x).
+vs_baseline is DELIBERATELY against the round-1 f32 model
+(BASELINE_BENCH.json): mixed precision is one of the round-2 model
+improvements being measured, not a change of measurement conditions —
+use BENCH_AMP=0 for a like-for-like f32 comparison.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 `vs_baseline` compares against BASELINE_BENCH.json in the repo root —

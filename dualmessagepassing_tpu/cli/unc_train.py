@@ -54,6 +54,10 @@ def get_args(argv=None):
                    help="node-aggregation backend: 'windowed' uses the "
                         "pass-per-window Pallas kernel (single-device, "
                         "DMPNN; 2.0-2.4x over XLA scatter at Yelp scale)")
+    p.add_argument("--ep_partition", type=str, default="degree",
+                   choices=["degree", "range", "bfs"],
+                   help="halo node partitioner (ep_mode=halo): 'bfs' is "
+                        "the locality-aware region grower")
     p.add_argument("--amp", type=str, default="False",
                    help="bf16 backbone forward/backward with f32 master "
                         "params and f32 loss (utils/amp)")
@@ -116,6 +120,7 @@ def main(argv=None):
             backbone=args.model, seed_nodes=seed_nodes or None,
             node_attri=attrs, seed=args.seed,
             ep_devices=args.ep_devices or None, ep_mode=args.ep_mode,
+            ep_partition=args.ep_partition,
             scatter_backend=args.scatter_backend,
             amp=args.amp.lower() in ("true", "1"), log=log)
 

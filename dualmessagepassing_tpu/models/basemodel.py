@@ -425,8 +425,12 @@ class GraphAdjModelV2(nn.Module):
                 p_e_out, p_e_mask, g_e_out, g_e_mask, train=train
             )
         if cfg.node_pred and cfg.edge_pred:
-            g_v_len = jnp.sum(g_v_mask.astype(compute_dtype()), 1, keepdims=True)
-            g_e_len = jnp.sum(g_e_mask.astype(compute_dtype()), 1, keepdims=True)
+            # exact counts: sum in f32, then follow the compute dtype
+            # (bf16 cannot represent integers above 256 — utils/amp)
+            g_v_len = jnp.sum(g_v_mask.astype(jnp.float32), 1,
+                              keepdims=True).astype(compute_dtype())
+            g_e_len = jnp.sum(g_e_mask.astype(jnp.float32), 1,
+                              keepdims=True).astype(compute_dtype())
             g_len = g_v_len + g_e_len
             pred_c = (g_v_len / g_len) * v_pred_c + (g_e_len / g_len) * e_pred_c
         elif cfg.node_pred:

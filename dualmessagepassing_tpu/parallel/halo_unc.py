@@ -118,27 +118,39 @@ def _assign_owners_bfs(senders, receivers, edge_mask, v_max, n_shards,
     affinity = np.zeros((n_shards, v_max), np.int32)
     deg_rank = np.argsort(-in_deg, kind="stable")
     seed_ptr = 0
+    # bulk claiming bounds host cost: each shard claims up to c best-
+    # affinity frontier nodes per round, so the loop runs O(n*vp/c)
+    # rounds of O(V) argpartitions instead of V rounds of O(V) argmaxes
+    # (the one-at-a-time form cost minutes per batch at Yelp scale).
+    # c=1 when vp < 16 reproduces the exact greedy (tests).
+    c = max(1, vp // 16)
 
-    def claim(s, v):
-        nonlocal seed_ptr
-        owner[v] = s
-        rows[s] += 1
-        nbrs = w[starts[v]: starts[v + 1]]
-        if len(nbrs):
-            np.add.at(affinity[s], nbrs, 1)
-
-    for _ in range(v_max):
-        # round-robin over shards with room keeps sizes balanced
-        s = int(np.argmin(np.where(rows < vp, rows, np.iinfo(np.int64).max)))
-        aff = np.where(owner < 0, affinity[s], -1)
-        v = int(np.argmax(aff))
-        if aff[v] <= 0:
-            while seed_ptr < v_max and owner[deg_rank[seed_ptr]] >= 0:
-                seed_ptr += 1
-            if seed_ptr >= v_max:
-                break
-            v = int(deg_rank[seed_ptr])
-        claim(s, v)
+    while (owner < 0).any():
+        progress = False
+        for s in range(n_shards):
+            room = vp - int(rows[s])
+            if room <= 0:
+                continue
+            take = min(c, room)
+            aff = np.where(owner < 0, affinity[s], -1)
+            cand = np.argpartition(aff, -take)[-take:]
+            cand = cand[aff[cand] > 0]
+            if len(cand) == 0:
+                while seed_ptr < v_max and owner[deg_rank[seed_ptr]] >= 0:
+                    seed_ptr += 1
+                if seed_ptr >= v_max:
+                    continue
+                cand = deg_rank[seed_ptr: seed_ptr + 1]
+            owner[cand] = s
+            rows[s] += len(cand)
+            nbrs = np.concatenate(
+                [w[starts[v]: starts[v + 1]] for v in cand]) if len(cand) \
+                else np.zeros(0, np.int64)
+            if len(nbrs):
+                np.add.at(affinity[s], nbrs, 1)
+            progress = True
+        if not progress:
+            break
     return owner
 
 

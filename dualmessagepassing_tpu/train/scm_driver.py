@@ -79,15 +79,22 @@ def make_train_step(model, tx, bp_loss: str = "MSE",
     the flagship step is memory-feed-bound, so halving activation bytes
     is the lever (ARCHITECTURE.md §11).
 
-    accum_chunks=k > 1 computes the SAME batch gradient as a lax.scan of
-    k sequential microbatches (grads and losses averaged over equal-size
-    chunks == full-batch mean; one optimizer update). This is a pure
-    TPU-memory lever: at large batch every fusion's [B, E, H]
-    intermediates round-trip HBM, while a chunk's working set stays in
-    VMEM — the v5e flagship step at bsz 2048 is markedly faster scanned
-    (ARCHITECTURE.md §8.5). Chunked dropout draws per-chunk RNGs and
-    BatchNorm (when present) sees chunks sequentially — both only change
-    stochastic details, not the estimator."""
+    accum_chunks=k > 1 computes the batch gradient as a lax.scan of k
+    sequential microbatches (grads and losses averaged over equal-size
+    chunks; one optimizer update). This is a pure TPU-memory lever: at
+    large batch every fusion's [B, E, H] intermediates round-trip HBM,
+    while a chunk's working set stays in VMEM — the v5e flagship step at
+    bsz 2048 is markedly faster scanned (ARCHITECTURE.md §8.5).
+
+    Equivalence scope: every bsz-denominated component (count loss,
+    match losses/regs) recombines EXACTLY (chunk sizes are equal by
+    construction). The rep regularizer divides by the chunk's TRUE mask
+    count, so when graph sizes vary across chunks its chunk-mean weights
+    each chunk's per-element mean equally instead of element-weighting —
+    a deviation of order rep_reg_w (default 1e-4) times the relative
+    size spread; the bucket samplers group similar sizes, keeping it
+    negligible. Chunked dropout draws per-chunk RNGs and BatchNorm (when
+    present) sees chunks sequentially — stochastic details only."""
 
     use_node_w = "node" in return_weights
     use_edge_w = "edge" in return_weights

@@ -325,8 +325,8 @@ class CompGraphConv(nn.Module):
         if edge_norm is not None:
             msg = msg * edge_norm.astype(msg.dtype)
         msg = jnp.where(sub["edge_mask"][:, None], msg, 0.0)
-        agg = jnp.zeros((v, h), msg.dtype).at[sub["receivers"]].add(
-            msg, indices_are_sorted=self.sorted_edges)
+        agg = _segment_sum_f32(msg, sub["receivers"], v, h,
+                               self.sorted_edges)
         if self.ep_axis and not owner_sharded:
             agg = jax.lax.psum(agg, self.ep_axis)
 
@@ -361,9 +361,8 @@ def _flat_relation_agg(sub, src_feat_e, weights, sorted_edges=False,
         wr, r = wr_and_r
         sel = jnp.logical_and(sub["edge_mask"], sub["edge_type"] == r)
         masked = jnp.where(sel[:, None], src_feat_e, 0.0)
-        partial = jnp.zeros((v, src_feat_e.shape[-1]),
-                            src_feat_e.dtype).at[sub["receivers"]].add(
-                                masked, indices_are_sorted=sorted_edges)
+        partial = _segment_sum_f32(masked, sub["receivers"], v,
+                                   src_feat_e.shape[-1], sorted_edges)
         return carry + partial @ wr, None
 
     init = jnp.zeros((v, weights.shape[2]), src_feat_e.dtype)

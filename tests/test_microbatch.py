@@ -59,11 +59,12 @@ def test_chunked_step_matches_full_batch(rng, k):
                         weights[0], weights[1], *scal, key)
         s_c, l_c = chunked(s_c, pattern, graph, counts,
                            weights[0], weights[1], *scal, key)
-        for name in ("total", "count", "match_v", "match_e"):
-            if name in l_f:
-                np.testing.assert_allclose(
-                    float(l_f[name]), float(l_c[name]), rtol=1e-5,
-                    atol=1e-6, err_msg=name)
+        for name in ("total", "count_loss", "match_v_loss", "match_e_loss",
+                     "match_v_reg", "match_e_reg"):
+            assert name in l_f, name
+            np.testing.assert_allclose(
+                float(l_f[name]), float(l_c[name]), rtol=1e-5,
+                atol=1e-6, err_msg=name)
     for a, b in zip(jax.tree.leaves(s_f.params), jax.tree.leaves(s_c.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)

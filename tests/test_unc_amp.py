@@ -140,3 +140,23 @@ def test_train_unc_amp_halo_end_to_end(rng):
     assert embs.shape == (25, 8)
     assert coverage > 0.9
     assert np.isfinite(embs).all()
+
+
+def test_train_unc_amp_windowed_ep_end_to_end(rng):
+    """All three round-2 levers compose: bf16 compute + windowed scatter
+    plans + edge-partitioned shard_map in one driver run."""
+    from dualmessagepassing_tpu.unc.driver import train_unc
+
+    src = rng.integers(0, 25, 120)
+    dst = (src + rng.integers(1, 25, 120)) % 25
+    rel = rng.integers(0, 2, 120)
+    t = np.stack([src, rel, dst], axis=1).astype(np.int64)
+    embs, coverage = train_unc(
+        t, 25, 2, h_dim=8, n_layers=1, lr=1e-2, reg_param=0.01,
+        negative_rate=2, graph_batch_size=40, graph_split_size=0.9,
+        sampler="randomwalk", sample_depth=2, sample_width=5,
+        n_epochs=2, v_max=25, e_max=125, seed=0, ep_devices=8,
+        scatter_backend="windowed", amp=True, log=lambda s: None)
+    assert embs.shape == (25, 8)
+    assert coverage > 0.9
+    assert np.isfinite(embs).all()
