@@ -1,4 +1,5 @@
-"""Device-trace timing of the full UNC train step: sorted_edges on/off.
+"""Device-trace timing of the full UNC train step: sorted/unsorted/
+windowed scatter x f32/amp (bf16 backbone) variants.
 
 Re-litigates the round-1 "sorted-scatter hint is ~100x slower in-step"
 claim (unc/model.py:450-459), which was measured with the untrustworthy
@@ -67,35 +68,41 @@ def main():
                    for k, v in attach_scatter_plan(sub_np).items()}
 
     out = {}
-    for variant in ("unsorted", "sorted", "windowed"):
-        sorted_edges = variant != "unsorted"
-        if variant == "windowed":
+    # (name, sorted_edges, windowed, amp) — amp rows measure the bf16
+    # backbone (unc.model.apply_unc_forward) against the f32 rows
+    variants = [
+        ("unsorted", False, False, False),
+        ("sorted", True, False, False),
+        ("windowed", True, True, False),
+        ("sorted_amp", True, False, True),
+        ("windowed_amp", True, True, True),
+    ]
+    for variant, sorted_edges, windowed, amp in variants:
+        if windowed:
             sub = sub_planned
         model = UNCTrainModel(
             num_nodes=V, num_rels=R, h_dim=H, nlabel=0,
             num_hidden_layers=args.layers, dropout=0.2, reg_param=0.01,
             backbone="DMPNN", sorted_edges=sorted_edges,
-            scatter_backend="windowed" if variant == "windowed" else "xla")
+            scatter_backend="windowed" if windowed else "xla")
         variables = init_unc_variables(model, jax.random.PRNGKey(0), sub)
         params = variables["params"]
         stats = variables.get("batch_stats", {})
         tx = optax.adam(1e-2)
         opt = tx.init(params)
 
+        from dualmessagepassing_tpu.unc.model import apply_unc_forward
+
         def step_fn(params, opt, stats, sub, rng_):
             def loss_fn(p):
-                vs = {"params": p}
-                if stats:
-                    vs["batch_stats"] = stats
-                (o, _), mut = model.apply(
-                    vs, sub, train=True, mutable=["batch_stats"],
-                    rngs={"dropout": rng_})
+                (o, _), new_stats = apply_unc_forward(
+                    model, p, stats, sub, rng_, amp=amp)
                 loss = model.apply(
-                    vs, o, sub["edge_type"], sub["edge_mask"],
+                    {"params": p}, o, sub["edge_type"], sub["edge_mask"],
                     sub["samples"], sub["labels"], sub["sample_mask"],
                     sub["node_mask"],
                     method=UNCTrainModel.unsupervised_loss)
-                return loss, mut.get("batch_stats", {})
+                return loss, new_stats
 
             (loss, new_stats), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
