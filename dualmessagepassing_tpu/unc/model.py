@@ -53,6 +53,32 @@ def _segment_sum_f32(msg, receivers, v, h, sorted_edges):
     return agg.astype(msg.dtype)
 
 
+def _use_windowed(layer, sub, width) -> bool:
+    """Windowed-kernel eligibility: backend selected, a pass plan rides
+    the sub dict (plans depend only on the receiver stream, so every
+    layer type shares the one the driver attached), and the message
+    width fits the kernel's 128-lane tile."""
+    return (layer.scatter_backend == "windowed" and "sk_blk" in sub
+            and width <= 128)
+
+
+def _segment_sum_agg(layer, sub, msg, v, h, out_width=None):
+    """Node aggregation behind the layer's scatter_backend: the windowed
+    Pallas kernel when eligible (f32-accumulating internally), else the
+    f32-accumulating XLA scatter. `out_width` slices weight-column-padded
+    messages back to the real hidden width (segment_kernel fusion note)."""
+    if _use_windowed(layer, sub, msg.shape[-1]):
+        from ..ops.segment_kernel import segment_sum_windowed_arrays
+
+        return segment_sum_windowed_arrays(
+            msg, sub["sk_recv"], sub["sk_blk"], sub["sk_win"],
+            sub["sk_first"], num_nodes=v,
+            out_width=out_width if out_width is not None else h)
+    agg = _segment_sum_f32(msg, sub["receivers"], v, msg.shape[-1],
+                           layer.sorted_edges)
+    return agg[:, : out_width] if out_width is not None else agg
+
+
 def _halo_table(node_feat, sub, axis):
     """Owner-sharded gather table: [owned ; halo ; zero dump].
 
@@ -164,7 +190,7 @@ class DualGraphConv(nn.Module):
             hw_dst[senders] - hw_src[receivers],
             hw_dst[receivers] - hw_src[senders],
         )
-        windowed = self.scatter_backend == "windowed" and "sk_blk" in sub
+        windowed = _use_windowed(self, sub, h)
         if windowed:
             # produce the message at the kernel's native 128-lane width by
             # zero-padding the weight COLUMNS: the pad lanes ride the same
@@ -181,15 +207,7 @@ class DualGraphConv(nn.Module):
             # edge_norm stays a f32 input; follow the compute dtype
             node_msg = node_msg * edge_norm.astype(node_msg.dtype)
         node_msg = jnp.where(e_mask[:, None], node_msg, 0.0)
-        if windowed:
-            from ..ops.segment_kernel import segment_sum_windowed_arrays
-
-            agg = segment_sum_windowed_arrays(
-                node_msg, sub["sk_recv"], sub["sk_blk"], sub["sk_win"],
-                sub["sk_first"], num_nodes=v, out_width=h)
-        else:
-            agg = _segment_sum_f32(node_msg, receivers, v, h,
-                                   self.sorted_edges)
+        agg = _segment_sum_agg(self, sub, node_msg, v, h, out_width=h)
         if self.ep_axis and not owner_sharded:
             # owner sharding places every edge at its receiver's owner, so
             # the aggregation is complete without any collective
@@ -321,12 +339,17 @@ class CompGraphConv(nn.Module):
         v = sub["node_mask"].shape[0]
         comp = comp_func(table[sub["senders"]], edge_feat, self.comp_opt)
         rev = sub["rev_flag"][:, None]
-        msg = jnp.where(rev, comp @ w_out, comp @ w_in)
+        # kernel-native 128-lane messages via weight-column zero-padding
+        # (same fusion trick as DualGraphConv / segment_kernel docstring)
+        windowed = _use_windowed(self, sub, h)
+        w_in_k = jnp.pad(w_in, ((0, 0), (0, 128 - h))) if windowed else w_in
+        w_out_k = (jnp.pad(w_out, ((0, 0), (0, 128 - h)))
+                   if windowed else w_out)
+        msg = jnp.where(rev, comp @ w_out_k, comp @ w_in_k)
         if edge_norm is not None:
             msg = msg * edge_norm.astype(msg.dtype)
         msg = jnp.where(sub["edge_mask"][:, None], msg, 0.0)
-        agg = _segment_sum_f32(msg, sub["receivers"], v, h,
-                               self.sorted_edges)
+        agg = _segment_sum_agg(self, sub, msg, v, h, out_width=h)
         if self.ep_axis and not owner_sharded:
             agg = jax.lax.psum(agg, self.ep_axis)
 
@@ -347,22 +370,26 @@ class CompGraphConv(nn.Module):
         return out, edge_feat @ w_rel
 
 
-def _flat_relation_agg(sub, src_feat_e, weights, sorted_edges=False,
-                       ep_axis=None, local_complete=False):
+def _flat_relation_agg(sub, src_feat_e, weights, layer,
+                       local_complete=False):
     """agg[v] = sum_e->v src_feat_e @ W[rel(e)] via a scan over relations
     (same MXU-friendly scheme as models/rgnn.py). Under edge partitioning
     the partial sums are completed by ONE psum after the scan —
     `local_complete` (owner sharding: edges live at their receiver's
-    owner) skips it."""
+    owner) skips it. The per-relation segment-sum goes through the
+    layer's scatter_backend (the windowed kernel's pass plan depends
+    only on the receiver stream, so all relations share it; falls back
+    to XLA scatter when src width exceeds the 128-lane tile)."""
     v = sub["node_mask"].shape[0]
     num_rels = weights.shape[0]
+    ep_axis = layer.ep_axis
 
     def body(carry, wr_and_r):
         wr, r = wr_and_r
         sel = jnp.logical_and(sub["edge_mask"], sub["edge_type"] == r)
         masked = jnp.where(sel[:, None], src_feat_e, 0.0)
-        partial = _segment_sum_f32(masked, sub["receivers"], v,
-                                   src_feat_e.shape[-1], sorted_edges)
+        partial = _segment_sum_agg(layer, sub, masked, v,
+                                   src_feat_e.shape[-1])
         return carry + partial @ wr, None
 
     init = jnp.zeros((v, weights.shape[2]), src_feat_e.dtype)
@@ -402,9 +429,7 @@ class RelGraphConvFlat(nn.Module):
         src = table[sub["senders"]]
         if self.use_norm and edge_norm is not None:
             src = src * edge_norm.astype(src.dtype)
-        out = _flat_relation_agg(sub, src, weights,
-                                 sorted_edges=self.sorted_edges,
-                                 ep_axis=self.ep_axis,
+        out = _flat_relation_agg(sub, src, weights, self,
                                  local_complete=owner_sharded)
         if self.self_loop:
             out = out + node_feat @ self.param("loop_weight", _xavier(),

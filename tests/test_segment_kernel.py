@@ -102,9 +102,12 @@ def test_plan_rejects_unsorted(rng):
         sk.build_pass_plan(recv, 16, e_env=16, v_env=16)
 
 
-def test_model_windowed_backend_matches_xla(rng):
+@pytest.mark.parametrize("backbone", ["DMPNN", "CompGCN", "RGCN", "RGIN"])
+def test_model_windowed_backend_matches_xla(rng, backbone):
     """UNCTrainModel(scatter_backend="windowed") forward + gradients equal
-    the XLA-scatter model on the same subgraph (kernel via interpreter)."""
+    the XLA-scatter model on the same subgraph (kernel via interpreter).
+    All four backbones share the receiver-stream pass plan (CompGCN pads
+    weight columns; RGCN/RGIN run the kernel per relation in the scan)."""
     from test_ep_unc import make_padded_sub
     from dualmessagepassing_tpu.unc.model import (UNCTrainModel,
                                                   init_unc_variables)
@@ -115,7 +118,7 @@ def test_model_windowed_backend_matches_xla(rng):
     plan_dev = {k: jnp.asarray(v) for k, v in planned.items()}
     kw = dict(num_nodes=40, num_rels=3, h_dim=16, nlabel=0,
               num_hidden_layers=2, dropout=0.0, reg_param=0.01,
-              backbone="DMPNN", sorted_edges=True)
+              backbone=backbone, sorted_edges=True)
     ref_model = UNCTrainModel(**kw)
     win_model = UNCTrainModel(scatter_backend="windowed", **kw)
     variables = init_unc_variables(ref_model, jax.random.PRNGKey(0), sub_dev)
