@@ -52,8 +52,9 @@ def get_args(argv=None):
     p.add_argument("--scatter_backend", type=str, default="xla",
                    choices=["xla", "windowed"],
                    help="node-aggregation backend: 'windowed' uses the "
-                        "pass-per-window Pallas kernel (single-device, "
-                        "DMPNN; 2.0-2.4x over XLA scatter at Yelp scale)")
+                        "pass-per-window Pallas kernel (every backbone "
+                        "and sharding mode; 2.0-2.4x over XLA scatter at "
+                        "Yelp scale)")
     p.add_argument("--ep_partition", type=str, default="degree",
                    choices=["degree", "range", "bfs"],
                    help="halo node partitioner (ep_mode=halo): 'bfs' is "

@@ -606,9 +606,10 @@ class UNCTrainModel(nn.Module):
     # DistMult/supervised losses all_gather the final [Vp, H] node outputs
     # once to score samples addressed by packed ids (owner * Vp + rank).
     node_sharding: str = "replicated"
-    # "xla" | "windowed" (ops/segment_kernel.py; DualGraphConv only — the
-    # other layer types keep XLA scatter). The drivers attach the required
-    # pass plan to the sub dict (segment_kernel.attach_scatter_plan).
+    # "xla" | "windowed" (ops/segment_kernel.py; every backbone — the
+    # receiver-stream pass plan is shared across layer types). The
+    # drivers attach the plan to the sub dict
+    # (segment_kernel.attach_scatter_plan / the per-shard builders).
     scatter_backend: str = "xla"
 
     def setup(self):
