@@ -238,12 +238,9 @@ def main():
         with open(base_path) as f:
             base = json.load(f)
         ref = base.get("scm_train_edges_per_sec")
-        ref_bsz = base.get("bsz", bsz)
-        if ref and ref_bsz == bsz:
-            vs = eps / ref
-        elif ref:
-            # normalize: baseline is per-edge time at its own bsz; compare
-            # edges/s directly anyway (both are saturated-device numbers)
+        if ref:
+            # edges/s compare directly across bsz (both are
+            # saturated-device numbers)
             vs = eps / ref
 
     out = {

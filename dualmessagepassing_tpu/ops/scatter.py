@@ -36,7 +36,8 @@ _DENSE_V_LIMIT = 2048
 
 
 def gather_nodes(node_feat: Array, idx: Array,
-                 method: Optional[str] = None) -> Array:
+                 method: Optional[str] = None,
+                 precision=None) -> Array:
     """Gather node rows per edge.
 
     node_feat: [B, V, H]; idx: [B, E] -> [B, E, H].
@@ -48,30 +49,43 @@ def gather_nodes(node_feat: Array, idx: Array,
     backward scatter on v5e (~35x over the HBM roofline); the one-hot form
     removes every scatter from the hot fwd+bwd path.  ``take`` remains for
     large V where O(E*V*H) FLOPs are unaffordable.
+
+    TPU numerics note: at the TPU DEFAULT matmul precision the one-hot
+    contraction returns the gathered f32 values ROUNDED to bf16 (~3
+    significant digits; ``take`` is exact). The production training
+    configuration is bf16 compute anyway (utils/amp), and the 4.1x step
+    win comes precisely from the single-pass form — pass
+    ``precision=jax.lax.Precision.HIGHEST`` (3x MXU passes) or
+    ``method="take"`` where exact f32 gathers matter.
     """
     v = node_feat.shape[-2]
     if method is None:
         method = "onehot" if v <= _DENSE_V_LIMIT else "take"
     if method == "onehot":
         oh = jax.nn.one_hot(idx, v, dtype=node_feat.dtype)
-        return jnp.einsum("...ev,...vh->...eh", oh, node_feat)
+        return jnp.einsum("...ev,...vh->...eh", oh, node_feat,
+                          precision=precision)
     # "take" (and the scatter backend name "segment", accepted as an alias
     # so layers can share one method flag)
     return jnp.take_along_axis(node_feat, idx[..., None], axis=-2)
 
 
 def gather_scalars(table: Array, idx: Array,
-                   method: Optional[str] = None) -> Array:
+                   method: Optional[str] = None,
+                   precision=None) -> Array:
     """Gather per-node scalars per edge: table [B, V]; idx [B, E] -> [B, E].
 
-    Same onehot-vs-take tradeoff as gather_nodes.
+    Same onehot-vs-take tradeoff (and TPU DEFAULT-precision bf16 rounding
+    note) as gather_nodes. Degree tables stay exact in bf16 up to 256;
+    larger-degree envelopes should pass method="take".
     """
     v = table.shape[-1]
     if method is None:
         method = "onehot" if v <= _DENSE_V_LIMIT else "take"
     if method == "onehot":
         oh = jax.nn.one_hot(idx, v, dtype=table.dtype)
-        return jnp.einsum("...ev,...v->...e", oh, table)
+        return jnp.einsum("...ev,...v->...e", oh, table,
+                          precision=precision)
     return jnp.take_along_axis(table, idx, axis=-1)
 
 

@@ -115,7 +115,7 @@ def attach_ep_scatter_plans(padded: Dict[str, np.ndarray], n_shards: int,
     return out
 
 
-def make_ep_model(n_shards_or_mesh, **model_kwargs) -> UNCTrainModel:
+def make_ep_model(**model_kwargs) -> UNCTrainModel:
     """UNCTrainModel configured for the 'ep' axis."""
     return UNCTrainModel(ep_axis="ep", **model_kwargs)
 

@@ -39,17 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..constants import LEAKY_RELU_A
 
 
-def _shard_map(f, mesh, in_specs, out_specs):
-    try:
-        from jax import shard_map as sm
-
-        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                  check_vma=False)
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map as sm
-
-        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                  check_rep=False)
+from .ep_unc import _shard_map  # version-compat shim (one copy)
 
 
 def assign_owners(senders: np.ndarray, receivers: np.ndarray,
@@ -141,7 +131,10 @@ def build_halo_partition(senders: np.ndarray, receivers: np.ndarray,
             send_idx[o, t, : len(ids)] = rank[ids]
             send_mask[o, t, : len(ids)] = True
 
-    local_senders = np.full((n_shards, Ep), Vp, np.int64)
+    # pad senders address the ZERO dump row (Vp + n*B) of the
+    # [owned; halo; dump] table — Vp alone is the first HALO row, i.e.
+    # another shard's real boundary features leaking into masked edges
+    local_senders = np.full((n_shards, Ep), Vp + n_shards * B, np.int64)
     local_receivers = np.full((n_shards, Ep), Vp, np.int64)
     edge_mask = np.zeros((n_shards, Ep), bool)
     rev_out = np.zeros((n_shards, Ep), rev_flag.dtype)
@@ -292,6 +285,10 @@ def make_halo_dmp_apply(mesh: Mesh, num_layers: int = 1,
             if "ebias" in params:
                 e_out = e_out + params["ebias"]
             e_out = jax.nn.leaky_relu(e_out, LEAKY_RELU_A)
+            # zero masked rows: pad receivers (Vp) index the gather
+            # TABLE's first halo row (its dump sits at Vp + n*B), so
+            # unmasked pad slots would carry partition-dependent garbage
+            e_out = jnp.where(em, e_out, 0.0)
             return n_out, e_out
 
         h = owned

@@ -250,6 +250,13 @@ def build_halo_sub(padded: Dict[str, np.ndarray], n_shards: int,
                 local[m] = vp + o * b + np.searchsorted(need[s][o], snd[m])
         l_send[s, :k] = local
         l_recv[s, :k] = rank[receivers[es]]
+        if k:
+            # pad tail repeats the last real local receiver so the shard
+            # stream stays NON-DECREASING — the drivers run the model
+            # with sorted_edges=True and XLA's indices_are_sorted scatter
+            # is implementation-defined on unsorted indices (pad messages
+            # are zeroed, so the repeated row only accumulates zeros)
+            l_recv[s, k:] = l_recv[s, k - 1]
         e_type[s, :k] = np.asarray(padded["edge_type"])[es]
         rev_sh[s, :k] = np.asarray(padded["rev_flag"])[es]
         e_mask_sh[s, :k] = True

@@ -94,6 +94,16 @@ class CurriculumSampler(BucketSampler):
         self.learning_by = learning_by
         self.used_ratio = used_ratio
 
+    def _curriculum_aligned(self) -> bool:
+        """True when the learning keys are a prefix of the grouping keys —
+        the curriculum cut then happens directly on the bucket order
+        (ceil keep-count); otherwise a separate learn-sort precedes the
+        bucket sort (int keep-count). Shared by __len__ and __iter__ so
+        len(sampler) can never drift from the yielded batch count (the
+        schedule clocks consume it)."""
+        return (self.learning_by == self.group_by
+                or self.learning_by == self.group_by[: len(self.learning_by)])
+
     def __len__(self):
         """Number of batches actually yielded under used_ratio.
 
@@ -102,8 +112,7 @@ class CurriculumSampler(BucketSampler):
         LR scheduler steps per yielded batch); our epoch loop does, so the
         honest count matters. The full-clock value remains available as
         .full_len for the reference's scalar-schedule step formula."""
-        if (self.learning_by == self.group_by
-                or self.learning_by == self.group_by[: len(self.learning_by)]):
+        if self._curriculum_aligned():
             kept = math.ceil(self.used_ratio * self.num_samples)
         else:
             kept = int(self.used_ratio * self.num_samples)
@@ -112,8 +121,7 @@ class CurriculumSampler(BucketSampler):
     def __iter__(self) -> Iterator[np.ndarray]:
         rng = np.random.default_rng(self.seed + self.epoch)
         ind = self._padded_indices(rng)
-        if (self.learning_by == self.group_by
-                or self.learning_by == self.group_by[: len(self.learning_by)]):
+        if self._curriculum_aligned():
             order = self._sort_keys(ind, rng, self.group_by)
             order = order[: math.ceil(self.used_ratio * len(order))]
         else:

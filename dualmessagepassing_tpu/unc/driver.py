@@ -294,6 +294,8 @@ def train_unc(
     ep_devices: Optional[int] = None,
     ep_mode: str = "psum",
     ep_partition: str = "degree",   # halo node partitioner: degree|range|bfs
+    halo_edge_slack: float = 1.5,   # per-shard edge envelope headroom
+    halo_boundary: Optional[int] = None,  # boundary rows/shard (default Vp)
     scatter_backend: str = "xla",
     amp: bool = False,
     log: Callable[[str], None] = print,
@@ -354,7 +356,9 @@ def train_unc(
                                              shard_halo_sub,
                                              unshard_halo_nodes)
 
-            vp_env, ep_env, b_env = halo_envelope(v_max, e_max, ep_devices)
+            vp_env, ep_env, b_env = halo_envelope(
+                v_max, e_max, ep_devices, edge_slack=halo_edge_slack,
+                boundary=halo_boundary)
 
     # pad_subgraph sorts edges by receiver -> the sorted-scatter hint is
     # always valid here (1.04x full-step win, see unc/model.py:450); the
@@ -380,21 +384,31 @@ def train_unc(
     if windowed:
         from ..ops.segment_kernel import attach_scatter_plan
 
-    def to_device(padded):
+    def host_prepare(padded):
+        """Numpy-only batch finishing (halo partitioning, scatter pass
+        plans) — runs INSIDE the sampler threads so the partitioner and
+        plan builders stay off the device critical path."""
         if halo:
             dev, _meta = build_halo_sub(padded, ep_devices, vp_env, ep_env,
                                         b_env, method=ep_partition,
                                         scatter_plan=windowed)
-            return shard_halo_sub(ep_mesh, dev)
+            return dev
         if ep_mesh is not None:
             if windowed:
                 from ..parallel.ep_unc import attach_ep_scatter_plans
 
-                padded = attach_ep_scatter_plans(padded, ep_devices)
-            return shard_sub(ep_mesh, padded)
+                return attach_ep_scatter_plans(padded, ep_devices)
+            return padded
         if windowed:
-            padded = attach_scatter_plan(padded)
-        return {k: jnp.asarray(v) for k, v in padded.items()}
+            return attach_scatter_plan(padded)
+        return padded
+
+    def to_device(prepared):
+        if halo:
+            return shard_halo_sub(ep_mesh, prepared)
+        if ep_mesh is not None:
+            return shard_sub(ep_mesh, prepared)
+        return {k: jnp.asarray(v) for k, v in prepared.items()}
 
     n_batches = math.ceil(len(train_edges) / graph_batch_size)
     total_steps = n_epochs * n_batches
@@ -425,7 +439,8 @@ def train_unc(
     # AOT-compile before the sampler threads start: remote-dispatch
     # backends wedge when jit compilation races live worker threads
     log("compiling train step (AOT)...")
-    step.lower(params, opt_state, batch_stats, to_device(first),
+    step.lower(params, opt_state, batch_stats,
+               to_device(host_prepare(first)),
                jax.random.PRNGKey(seed)).compile()
     log("compile done; training...")
 
@@ -445,11 +460,15 @@ def train_unc(
                                       shuffle=True))
             child_rngs = rng.spawn(len(batch_list))
 
+            def sample_and_prepare(edges_i, brng):
+                return host_prepare(sample_batch(
+                    graph, edges_i, sampler, sample_depth, sample_width,
+                    graph_split_size, negative_rate, v_max, e_max, s_max,
+                    brng))
+
             def submit(i):
-                return pool.submit(sample_batch, graph, batch_list[i],
-                                   sampler, sample_depth, sample_width,
-                                   graph_split_size, negative_rate,
-                                   v_max, e_max, s_max, child_rngs[i])
+                return pool.submit(sample_and_prepare, batch_list[i],
+                                   child_rngs[i])
 
             # sliding window caps sampled-but-unconsumed batches in memory
             window = max(2 * prefetch, 1)
@@ -487,7 +506,8 @@ def train_unc(
 
         def embed_step(vs, padded):
             dev, meta = build_halo_sub(padded, ep_devices, vp_env, ep_env,
-                                       b_env)
+                                       b_env, method=ep_partition,
+                                       scatter_plan=windowed)
             out, _ = halo_fwd(vs, shard_halo_sub(ep_mesh, dev))
             return unshard_halo_nodes(meta, out[0])
     elif ep_mesh is not None:

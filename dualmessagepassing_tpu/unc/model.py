@@ -613,6 +613,15 @@ class UNCTrainModel(nn.Module):
     scatter_backend: str = "xla"
 
     def setup(self):
+        if self.node_sharding == "owner" and self.nlabel > 0:
+            # supervised_loss indexes the all_gathered packed table
+            # (owner * Vp + rank); matched_index is only remapped by the
+            # unsupervised halo builder — fail loudly instead of training
+            # on silently-wrong rows
+            raise NotImplementedError(
+                "supervised head under node_sharding='owner' requires "
+                "matched_index remapped to packed ids; use the "
+                "replicated ep path or single-device for supervised runs")
         i_dim = (self.h_dim if self.node_attri is None
                  else self.node_attri.shape[1])
         kw = dict(num_nodes=self.num_nodes, num_rels=self.num_rels * 2,
