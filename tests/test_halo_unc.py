@@ -242,8 +242,11 @@ def test_build_halo_sub_invariants(rng):
         assert (dev["receivers"][s][em] < vp).all()
         assert (dev["senders"][s][em] <= vp + n * b).all()
         # receiver-sortedness survives partitioning (sorted_edges safety)
+        # — including the pad tail (the drivers run sorted_edges=True on
+        # the FULL padded stream, so pads must not break monotonicity)
         rcv = dev["receivers"][s][em]
         assert (np.diff(rcv) >= 0).all()
+        assert (np.diff(dev["receivers"][s]) >= 0).all()
     # sample remap round-trips through (owner, rank)
     real = sub["sample_mask"]
     orig = np.asarray(sub["samples"])[real]
