@@ -46,6 +46,7 @@ import tempfile
 import time
 
 import numpy as np
+from typing import Optional
 
 # v5e peak: ~197 TFLOP/s bf16, ~99 TFLOP/s f32. Use bf16 peak (default
 # matmul precision on TPU is bf16) — conservative for the MFU<=1 gate.
@@ -191,7 +192,42 @@ def measure(bsz: int, iters: int):
     return dev_ms, host_ms, flops
 
 
+def _probe_backend(timeout_s: float = 300.0) -> Optional[str]:
+    """Initialize the device backend in a side thread with a timeout.
+
+    The remote-dispatch relay has been observed to go fully dead for
+    hours (jax.devices() hangs at PJRT init in every new process —
+    CLAUDE.md); without this guard the bench hangs instead of reporting.
+    Returns an error string on timeout/failure, None when healthy."""
+    import threading
+
+    result = {}
+
+    def init():
+        try:
+            import jax
+
+            result["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report, don't raise in thread
+            result["error"] = f"backend init failed: {e!r}"
+
+    t = threading.Thread(target=init, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return (f"backend init did not complete within {timeout_s:.0f}s "
+                "— remote-dispatch relay unreachable")
+    return result.get("error")
+
+
 def main():
+    err = _probe_backend(float(os.environ.get("BENCH_INIT_TIMEOUT", "300")))
+    if err:
+        print(json.dumps({
+            "metric": "scm_train_edges_per_sec", "value": 0.0,
+            "unit": "edges/s", "vs_baseline": 0.0, "error": err}))
+        sys.exit(1)
+
     prec = os.environ.get("BENCH_PRECISION")
     if prec:
         import jax
