@@ -59,6 +59,9 @@ def get_args(argv=None):
                    choices=["degree", "range", "bfs"],
                    help="halo node partitioner (ep_mode=halo): 'bfs' is "
                         "the locality-aware region grower")
+    p.add_argument("--checkpoint_dir", type=str, default="",
+                   help="save full training state (params/opt/BN/clocks) "
+                        "per epoch and resume from it when present")
     p.add_argument("--amp", type=str, default="False",
                    help="bf16 backbone forward/backward with f32 master "
                         "params and f32 loss (utils/amp)")
@@ -122,6 +125,7 @@ def main(argv=None):
             node_attri=attrs, seed=args.seed,
             ep_devices=args.ep_devices or None, ep_mode=args.ep_mode,
             ep_partition=args.ep_partition,
+            checkpoint_dir=args.checkpoint_dir or None,
             scatter_backend=args.scatter_backend,
             amp=args.amp.lower() in ("true", "1"), log=log)
 

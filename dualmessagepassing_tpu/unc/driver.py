@@ -296,6 +296,7 @@ def train_unc(
     ep_partition: str = "degree",   # halo node partitioner: degree|range|bfs
     halo_edge_slack: float = 1.5,   # per-shard edge envelope headroom
     halo_boundary: Optional[int] = None,  # boundary rows/shard (default Vp)
+    checkpoint_dir: Optional[str] = None,  # per-epoch full-state save/resume
     scatter_backend: str = "xla",
     amp: bool = False,
     log: Callable[[str], None] = print,
@@ -446,6 +447,32 @@ def train_unc(
 
     prev_loss = float("inf")
     k_step = 0
+    start_epoch = 0
+    # Full-state checkpoint per epoch (beyond the reference, which never
+    # checkpoints UNC training — SURVEY §5.3/§5.4): params + optimizer
+    # state + BN stats + loop clocks, orbax under checkpoint_dir/latest.
+    # Resume restores everything except the numpy sampling RNG (sampling
+    # is stochastic per epoch by design).
+    ckpt_path = None
+    if checkpoint_dir:
+        import os as _os
+
+        from ..train.checkpoint import restore_params, save_params
+
+        ckpt_path = _os.path.join(_os.path.abspath(checkpoint_dir),
+                                  "latest")
+        if _os.path.exists(ckpt_path):
+            saved = restore_params(ckpt_path, like={
+                "params": params, "opt_state": opt_state,
+                "batch_stats": batch_stats, "epoch": 0, "k_step": 0,
+                "prev_loss": 0.0})
+            params = saved["params"]
+            opt_state = saved["opt_state"]
+            batch_stats = saved["batch_stats"]
+            start_epoch = int(saved["epoch"]) + 1
+            k_step = int(saved["k_step"])
+            prev_loss = float(saved["prev_loss"])
+            log(f"resumed from {ckpt_path} at epoch {start_epoch}")
     # Host-side sampling is the long pole at large scale (Yelp: 1.7-2.4 s
     # per batch vs ~0.5 s device step). Two sampler threads run ahead of
     # the device (the native random-walk kernel releases the GIL through
@@ -455,7 +482,7 @@ def train_unc(
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=max(prefetch, 1)) as pool:
-        for epoch in range(n_epochs):
+        for epoch in range(start_epoch, n_epochs):
             batch_list = list(batches(train_edges, graph_batch_size,
                                       shuffle=True))
             child_rngs = rng.spawn(len(batch_list))
@@ -493,6 +520,13 @@ def train_unc(
                 pending.append(float(loss))
             loss = sum(pending) / max(len(pending), 1)
             log(f"Epoch {epoch:05d} | Loss {loss:.4f}")
+            if ckpt_path:
+                save_params(ckpt_path, {
+                    "params": jax.device_get(params),
+                    "opt_state": jax.device_get(opt_state),
+                    "batch_stats": jax.device_get(batch_stats),
+                    "epoch": epoch, "k_step": k_step,
+                    "prev_loss": float(min(loss, prev_loss))})
             if loss > prev_loss:
                 break
             prev_loss = loss

@@ -409,3 +409,33 @@ def test_unc_evaluate_cli(tmp_path, rng):
     assert "nc" in res and "lp" in res
     assert res["nc"]["Macro-F1"] > 0.8
     assert (tmp_path / "record.dat").exists()
+
+
+def test_train_unc_checkpoint_resume(rng, tmp_path):
+    """Per-epoch full-state checkpointing: a resumed run picks up the
+    saved epoch/params and completes; final embeddings are finite."""
+    from dualmessagepassing_tpu.unc.driver import train_unc
+
+    src = rng.integers(0, 20, 100)
+    dst = (src + rng.integers(1, 20, 100)) % 20
+    rel = rng.integers(0, 2, 100)
+    t = np.stack([src, rel, dst], axis=1).astype(np.int64)
+    kw = dict(h_dim=8, n_layers=1, lr=1e-2, reg_param=0.01,
+              negative_rate=2, graph_batch_size=40, graph_split_size=0.9,
+              sampler="randomwalk", sample_depth=2, sample_width=5,
+              v_max=20, e_max=100, seed=0,
+              checkpoint_dir=str(tmp_path / "ckpt"))
+    logs = []
+    embs, cov = train_unc(t, 20, 2, n_epochs=2, log=logs.append, **kw)
+    assert (tmp_path / "ckpt" / "latest").exists()
+    logs2 = []
+    embs2, cov2 = train_unc(t, 20, 2, n_epochs=4, log=logs2.append, **kw)
+    assert any("resumed from" in l for l in logs2), logs2[:4]
+    # resumed run starts after the first run's last completed epoch
+    def epochs(ls):
+        return [int(l.split()[1]) for l in ls if l.startswith("Epoch")]
+    e1, e2 = epochs(logs), epochs(logs2)
+    assert e1 and e2, (logs, logs2)
+    assert e2[0] == e1[-1] + 1, (e1, e2)
+    assert np.isfinite(embs2).all()
+    assert cov2 > 0.9
