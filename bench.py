@@ -152,6 +152,8 @@ def build_step(bsz: int):
     # stay in VMEM instead of spilling [B, E, H] intermediates to HBM —
     # see scm_driver.make_train_step(accum_chunks))
     chunks = int(os.environ.get("BENCH_CHUNKS", "1"))
+    if chunks > 1 and bsz % chunks:
+        chunks = 1   # indivisible batch (e.g. the scale-check bsz/4 rerun)
 
     def train_step(params, opt_state, pattern, graph, counts):
         if chunks <= 1:
