@@ -118,4 +118,6 @@ def convert_dataset_to_dual(dataset, e_max_dual_p=None, e_max_dual_g=None):
         x["graph"] = convert_to_dual_record(g, e_max_dual_g)
         x["node_weights"] = None
         x["edge_weights"] = None
+    if hasattr(dataset, "invalidate_collate_cache"):
+        dataset.invalidate_collate_cache()
     return dataset

@@ -204,3 +204,29 @@ def test_dense_parts_equals_concat(rng):
     y_parts = dense.apply(params, parts=[p, g, g - p, g * p, s])
     np.testing.assert_allclose(np.asarray(y_cat), np.asarray(y_parts),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_dense_collate_cache_matches_and_invalidates(rng):
+    """The dataset-level dense collate cache returns exactly the stacked
+    batch and is dropped by in-place transforms (add_reversed_edges)."""
+    import numpy as np
+    import jax
+    from dualmessagepassing_tpu.data.dataset import GraphAdjDataset
+    from dualmessagepassing_tpu.data.synthetic import generate_dataset
+
+    data = generate_dataset(12, seed=3, pv=3, pe=3, gv=8, ge=16,
+                            num_vlabels=2, num_elabels=2,
+                            p_v_max=4, p_e_max=4, g_v_max=8, g_e_max=16)
+    ds = GraphAdjDataset(data)
+    a = ds.batchify(range(8), "nodeedge")       # builds the cache
+    ds_fb = GraphAdjDataset(data)
+    ds_fb._dense = {"pattern": None, "graph": None}   # force stacking path
+    b = ds_fb.batchify(range(8), "nodeedge")
+    for x, y in zip(jax.tree.leaves((a[1], a[2], a[3], a[4])),
+                    jax.tree.leaves((b[1], b[2], b[3], b[4]))):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    e_before = a[2].edge_mask.shape[1]
+    ds.add_reversed_edges(2, 2)                 # mutates + invalidates
+    c = ds.batchify(range(8), "nodeedge")
+    assert c[2].edge_mask.shape[1] == 2 * e_before
