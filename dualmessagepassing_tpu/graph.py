@@ -389,16 +389,13 @@ def batch_graphs_dense(dense: Dict[str, np.ndarray], idx) -> GraphBatch:
     gather per field instead of a 2048-element Python stack per batch
     (GraphAdjDataset builds `dense` once; collate dropped ~56 ms -> ~2 ms
     per flagship batch on this host)."""
-    def take(k):
-        return jnp.asarray(dense[k][idx])
-
-    return GraphBatch(
-        senders=take("senders"), receivers=take("receivers"),
-        node_id=take("node_id"), node_label=take("node_label"),
-        edge_label=take("edge_label"), node_mask=take("node_mask"),
-        edge_mask=take("edge_mask"), rev_flag=take("rev_flag"),
-        n_node=take("n_node"), n_edge=take("n_edge"),
-    )
+    # ONE batched device_put for all fields: through the remote-dispatch
+    # relay each transfer costs ~1 ms of latency, so 10 per-field puts
+    # would dominate a fast step
+    arrs = {k: dense[k][idx] for k in (
+        "senders", "receivers", "node_id", "node_label", "edge_label",
+        "node_mask", "edge_mask", "rev_flag", "n_node", "n_edge")}
+    return GraphBatch(**jax.device_put(arrs))
 
 
 def batch_graphs(records: List[Dict[str, np.ndarray]]) -> GraphBatch:
