@@ -63,6 +63,10 @@ class GraphAdjDataset:
                 rec["edge_mask"] = np.arange(len(em)) < n_keep
                 rec["n_edge"] = np.int32(n_keep)
             x["edge_weights"] = None
+            # remove_loops mutates the record dicts IN PLACE, so the
+            # identity-keyed edgeseq cache must be dropped explicitly
+            x.pop("_edgeseq_pattern", None)
+            x.pop("_edgeseq_graph", None)
         self.invalidate_collate_cache()
         return self
 
@@ -214,8 +218,20 @@ class GraphAdjDataset:
         tuples sorted lexicographically; edge weights follow the sort."""
         batch = [self.data[i] for i in indices]
         ids = [x["id"] for x in batch]
-        p_seqs = [G.record_to_edgeseq(x["pattern"]) for x in batch]
-        g_seqs = [G.record_to_edgeseq(x["graph"]) for x in batch]
+
+        def seq(x, which):
+            # lexicographic sort cached per record (invalidated with the
+            # record itself by the in-place transforms, which replace the
+            # record dicts these keys live on)
+            key = f"_edgeseq_{which}"
+            cached = x.get(key)
+            if cached is None or cached[0] is not x[which]:
+                cached = (x[which], G.record_to_edgeseq(x[which]))
+                x[key] = cached
+            return cached[1]
+
+        p_seqs = [seq(x, "pattern") for x in batch]
+        g_seqs = [seq(x, "graph") for x in batch]
         pattern = G.batch_edgeseqs(p_seqs)
         graph = G.batch_edgeseqs(g_seqs)
         counts = np.asarray([x["counts"] for x in batch], np.float32)[:, None]
