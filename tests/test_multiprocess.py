@@ -355,3 +355,115 @@ def test_two_process_psum(tmp_path):
                 results[int(pid)] = float(val)
     # global sum of 0..15 over 4 devices
     assert results == {0: 120.0, 1: 120.0}
+
+
+HALO_TRAIN_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+repo = os.environ.pop("REPO_DIR")
+os.environ.pop("PYTHONPATH", None)
+sys.path.insert(0, repo)
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); n = int(sys.argv[2]); port = sys.argv[3]
+jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=n,
+                           process_id=pid)
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from dualmessagepassing_tpu.parallel.halo_unc import (
+    SHARD_KEYS, build_halo_sub, halo_envelope, make_halo_train_step)
+from dualmessagepassing_tpu.unc.data import (
+    WholeGraph, compute_edgenorm, negative_sampling, pad_subgraph,
+    sample_subgraph_by_randomwalks)
+from dualmessagepassing_tpu.unc.model import UNCTrainModel, init_unc_variables
+
+devs = jax.devices(); n_dev = len(devs)
+mesh = Mesh(np.array(devs), ("ep",))
+rng = np.random.default_rng(0)   # identical host data on every process
+V, E, R = 24, 96, 3
+src = rng.integers(0, V, E); dst = (src + rng.integers(1, V, E)) % V
+trip = np.stack([src, rng.integers(0, R, E), dst], 1).astype(np.int64)
+g = WholeGraph(V, R, trip)
+e_max = 2 * E
+vp, ep_env, b = halo_envelope(V, e_max, n_dev)
+
+def make_sub(srng):
+    pos = trip[srng.integers(0, E, 8)]
+    neg = negative_sampling(pos, V, 2, srng)
+    seeds = np.unique(pos[:, [0, 2]].reshape(-1))
+    sub = sample_subgraph_by_randomwalks(g, seeds, 2, 6, srng)
+    samples = np.concatenate([pos, neg]).copy()
+    lut = {int(v): i for i, v in enumerate(sub["nid"])}
+    samples[:, 0] = [lut.get(int(x), 0) for x in samples[:, 0]]
+    samples[:, 2] = [lut.get(int(x), 0) for x in samples[:, 2]]
+    labels = np.zeros(len(samples), np.float32); labels[:8] = 1.0
+    padded = pad_subgraph(sub, samples, labels, V, e_max, 32,
+                          edge_norm=compute_edgenorm(sub))
+    dev, _meta = build_halo_sub(padded, n_dev, vp, ep_env, b)
+    return dev
+
+mkw = dict(num_nodes=V, num_rels=R, h_dim=8, nlabel=0,
+           num_hidden_layers=1, dropout=0.0, reg_param=0.01,
+           backbone="DMPNN")
+model = UNCTrainModel(ep_axis="ep", node_sharding="owner",
+                      sorted_edges=True, **mkw)
+# init on an axis-free twin with a plain (non-halo) padded sub
+first_rng = np.random.default_rng(1)
+pos = trip[first_rng.integers(0, E, 8)]
+neg = negative_sampling(pos, V, 2, first_rng)
+seeds = np.unique(pos[:, [0, 2]].reshape(-1))
+s0 = sample_subgraph_by_randomwalks(g, seeds, 2, 6, first_rng)
+samples = np.concatenate([pos, neg]).copy()
+lut = {int(v): i for i, v in enumerate(s0["nid"])}
+samples[:, 0] = [lut.get(int(x), 0) for x in samples[:, 0]]
+samples[:, 2] = [lut.get(int(x), 0) for x in samples[:, 2]]
+labels = np.zeros(len(samples), np.float32); labels[:8] = 1.0
+first = pad_subgraph(s0, samples, labels, V, e_max, 32,
+                     edge_norm=compute_edgenorm(s0))
+variables = init_unc_variables(
+    UNCTrainModel(**mkw), jax.random.PRNGKey(0),
+    {k: jnp.asarray(v) for k, v in first.items()})
+
+rep = NamedSharding(mesh, P())
+glob_rep = lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x))
+
+def glob_dev(dev):
+    out = {}
+    per = n_dev // n     # shards per process (leading [n_dev] axis)
+    for k, v in dev.items():
+        if k in SHARD_KEYS:
+            out[k] = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P("ep")), v[pid * per:(pid + 1) * per])
+        else:
+            out[k] = glob_rep(v)
+    return out
+
+params = jax.tree.map(glob_rep, variables["params"])
+stats = jax.tree.map(glob_rep, variables.get("batch_stats", {}))
+tx = optax.adam(1e-2)
+opt = jax.jit(tx.init)(params)
+step = make_halo_train_step(model, tx, mesh)
+for k in range(3):
+    dev = glob_dev(make_sub(np.random.default_rng(10 + k)))
+    params, opt, stats, loss = step(params, opt, stats, dev,
+                                    np.asarray(jax.random.PRNGKey(20 + k)))
+    print(f"LOSS {pid} {k} {float(loss):.6f}", flush=True)
+checksum = jax.jit(lambda p: sum(jnp.sum(jnp.abs(x))
+                                 for x in jax.tree.leaves(p)))(params)
+print(f"RESULT {pid} {float(checksum):.6f}", flush=True)
+jax.distributed.shutdown()
+"""
+
+
+def test_two_process_halo_train_step(tmp_path):
+    """Multi-host halo bring-up: 3 owner-sharded train steps (boundary
+    all_to_all spanning two processes, fully-local aggregation, DistMult
+    loss) over a 4-shard global mesh; loss trajectory and parameter
+    checksum agree across processes."""
+    results, losses = _run_pair(tmp_path, HALO_TRAIN_WORKER, "39754")
+    assert len(results) == 2
+    assert len(losses[0]) == 3 and losses[0] == losses[1], losses
+    assert abs(results[0] - results[1]) < 1e-4, results
+    assert all(np.isfinite(l) for l in losses[0])
