@@ -25,7 +25,7 @@ import optax
 from flax import struct
 
 from ..graph import GraphBatch
-from .losses import eval_criterion, scm_loss
+from .losses import scm_loss
 from .schedules import lr_schedule, scalar_schedule
 
 
