@@ -238,12 +238,11 @@ def main():
     # tracing through the remote-dispatch relay is slow host-side (~80 s
     # per traced step observed) — 5 iters is enough for a stable device
     # number and keeps the run under ~15 min.
-    # Default bsz 128: the best MEASURED device-trace throughput point
-    # (54.4M edges/s, MFU 0.245, scale-check 3.37x — vs 20.9M at 2048,
-    # whose [B, E, H] fusion intermediates spill VMEM, ARCHITECTURE §8.5).
-    # The 256/512 and chunked-2048 points are unmeasured: the relay died
-    # mid-sweep (see CLAUDE.md relay-outage note); re-run
-    # scripts/chunk_sweep.py when hardware returns.
+    # Default bsz 128: the best device-trace throughput point of the full
+    # chunk sweep (58.5M edges/s, MFU 0.255 — vs 20.9M at unchunked 2048,
+    # whose [B, E, H] fusion intermediates spill VMEM; chunking recovers
+    # the rate at any batch: 2048:16 = 58.2M. Sweep reproduced twice on
+    # the live relay, ARCHITECTURE §8.5 / scripts/chunk_sweep.py).
     bsz = int(os.environ.get("BENCH_BSZ", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     scale_check = os.environ.get("BENCH_SCALECHECK", "1") == "1"
