@@ -194,6 +194,152 @@ def measure(bsz: int, iters: int):
     return dev_ms, host_ms, flops
 
 
+def build_unc_step(v: int, e: int, h: int = 50, layers: int = 2,
+                   s: int = 60000):
+    """Real UNC train step (driver's make_unc_train_step) on a synthetic
+    receiver-sorted Yelp-ish envelope — the scale workload's benchmark.
+
+    The default composition is the measured best full-step variant
+    (ARCHITECTURE §8.3, device-trace verified this round): sorted edges +
+    XLA scatter + bf16 amp. BENCH_AMP=0 -> f32; BENCH_UNC_BACKEND=windowed
+    -> the Pallas windowed kernel (wins f32, ties amp at this envelope).
+    The reference has no throughput number anywhere (train.py:939-940 is
+    per-sample eval latency only) — the anchor is BASELINE_BENCH_UNC.json,
+    this harness's own f32/unsorted starting point."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dualmessagepassing_tpu.unc.driver import make_unc_train_step
+    from dualmessagepassing_tpu.unc.model import (UNCTrainModel,
+                                                  init_unc_variables)
+
+    R = 3
+    rng = np.random.default_rng(0)
+    senders = rng.integers(0, v, e).astype(np.int32)
+    receivers = rng.integers(0, v, e).astype(np.int32)
+    order = np.argsort(receivers, kind="stable")
+    sub_np = {
+        "nid": np.arange(v, dtype=np.int64),
+        "senders": senders[order],
+        "receivers": receivers[order],
+        "edge_type": rng.integers(0, 2 * R, e).astype(np.int32)[order],
+        "rev_flag": (rng.random(e) < 0.5)[order],
+        "edge_mask": np.ones(e, bool),
+        "node_mask": np.ones(v, bool),
+        "edge_norm": (1.0 / np.maximum(
+            np.bincount(receivers, minlength=v)[receivers], 1)
+        ).astype(np.float32)[order][:, None],
+        "samples": np.stack([
+            rng.integers(0, v, s), rng.integers(0, R, s),
+            rng.integers(0, v, s)], 1).astype(np.int64),
+        "labels": (rng.random(s) < 0.2).astype(np.float32),
+        "sample_mask": np.ones(s, bool),
+    }
+    backend = os.environ.get("BENCH_UNC_BACKEND", "xla")
+    if backend == "windowed":
+        from dualmessagepassing_tpu.ops.segment_kernel import \
+            attach_scatter_plan
+
+        sub_np = attach_scatter_plan(sub_np)
+    sub = {k: jnp.asarray(val) for k, val in sub_np.items()}
+    amp = os.environ.get("BENCH_AMP", "1") == "1"
+
+    model = UNCTrainModel(
+        num_nodes=v, num_rels=R, h_dim=h, nlabel=0,
+        num_hidden_layers=layers, dropout=0.2, reg_param=0.01,
+        backbone="DMPNN", sorted_edges=True, scatter_backend=backend)
+    variables = init_unc_variables(model, jax.random.PRNGKey(0), sub)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+    step = make_unc_train_step(model, tx, amp=amp)
+    compiled = step.lower(params, opt, stats, sub,
+                          jax.random.PRNGKey(1)).compile()
+    ca = compiled.cost_analysis() or {}
+    flops = float(ca.get("flops", float("nan")))
+
+    def advance(state):
+        p, o, st, loss = compiled(state[0], state[1], state[2], sub,
+                                  jax.random.PRNGKey(2))
+        return (p, o, st, loss)
+
+    return advance, (params, opt, stats), flops
+
+
+def measure_unc(v: int, e: int, iters: int):
+    advance, state0, flops = build_unc_step(v, e)
+    dev_ms, host_ms = time_step(advance, state0, iters)
+    return dev_ms, host_ms, flops
+
+
+def main_unc():
+    """BENCH_WORKLOAD=unc: one JSON line for the UNC scale workload."""
+    v = int(os.environ.get("BENCH_UNC_V", "65536"))
+    e = int(os.environ.get("BENCH_UNC_E", "524288"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    scale_check = os.environ.get("BENCH_SCALECHECK", "1") == "1"
+
+    dev_ms, host_ms, flops = measure_unc(v, e, iters)
+    clock = "device_trace"
+    step_ms = dev_ms
+    if step_ms is None:
+        clock = "host_blocked"
+        step_ms = host_ms
+
+    mfu = flops / (step_ms / 1e3) / PEAK_FLOPS
+    eps = e / (step_ms / 1e3)
+
+    err = None
+    if mfu > 1.0:
+        err = (f"IMPOSSIBLE: apparent MFU {mfu:.2f} > 1.0 "
+               f"({flops:.3e} FLOP in {step_ms:.3f} ms) — clock is lying")
+
+    scale_ratio = None
+    if scale_check and err is None:
+        small_dev, small_host, _ = measure_unc(v, e // 4,
+                                               max(iters // 2, 3))
+        small_ms = small_dev if clock == "device_trace" and small_dev \
+            else small_host
+        scale_ratio = step_ms / max(small_ms, 1e-9)
+        if scale_ratio < 1.5:
+            err = (f"SCALE CHECK FAILED: step(E={e})={step_ms:.2f} ms vs "
+                   f"step(E={e // 4})={small_ms:.2f} ms (ratio "
+                   f"{scale_ratio:.2f} < 1.5) — timing not tracking compute")
+
+    vs = 1.0
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_BENCH_UNC.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            ref = json.load(f).get("unc_train_edges_per_sec")
+        if ref:
+            vs = eps / ref
+
+    out = {
+        "metric": "unc_train_edges_per_sec",
+        "value": round(eps, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(vs, 3),
+        "v": v, "e": e,
+        "step_ms": round(step_ms, 3),
+        "clock": clock,
+        "host_step_ms": round(host_ms, 3),
+        "flops_per_step": flops,
+        "mfu": round(mfu, 4),
+        "amp": os.environ.get("BENCH_AMP", "1") == "1",
+        "backend": os.environ.get("BENCH_UNC_BACKEND", "xla"),
+    }
+    if scale_ratio is not None:
+        out["scale_ratio_4x"] = round(scale_ratio, 2)
+    if err:
+        out["error"] = err
+    print(json.dumps(out))
+    if err:
+        sys.exit(1)
+
+
 def _probe_backend(timeout_s: float = 300.0) -> Optional[str]:
     """Initialize the device backend in a side thread with a timeout.
 
@@ -234,6 +380,10 @@ def main():
     if prec:
         import jax
         jax.config.update("jax_default_matmul_precision", prec)
+
+    if os.environ.get("BENCH_WORKLOAD", "scm") == "unc":
+        main_unc()
+        return
 
     # tracing through the remote-dispatch relay is slow host-side (~80 s
     # per traced step observed) — 5 iters is enough for a stable device
