@@ -25,8 +25,22 @@ from ..utils.init import kaiming_normal
 
 
 def _apply_table(table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Integer ids -> rows; float [...,N] -> matmul with the table."""
+    """Integer ids -> rows; float [...,N] -> matmul with the table.
+
+    Small-table id lookups go through one_hot @ table instead of an XLA
+    gather: the narrow-row (sub-128-lane) gather was the single hottest
+    op of the flagship SCM step (0.100 ms/step at bsz 128 — ~13 GB/s,
+    far off the HBM roofline; ARCHITECTURE §8.6), while the one-hot form
+    is a tiny MXU matmul whose TRANSPOSE is also a matmul (scatter-free
+    backward for trainable tables). Exact even at default bf16 matmul
+    precision: each output row is one 1.0-weighted table row accumulated
+    in f32. Ids are clipped to match gather's out-of-bounds clamping.
+    """
     if jnp.issubdtype(x.dtype, jnp.integer):
+        n = table.shape[0]
+        if n <= 2048:  # consistent with ops/scatter._DENSE_V_LIMIT
+            oh = jax.nn.one_hot(jnp.clip(x, 0, n - 1), n, dtype=table.dtype)
+            return oh @ table
         return table[x]
     if x.shape[-1] == table.shape[0]:
         return x @ table

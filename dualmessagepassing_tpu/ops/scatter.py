@@ -112,7 +112,9 @@ def scatter_sum_edges(
         oh = _masked_onehot(receivers, edge_mask, num_nodes, msg.dtype)
         # [B,E,V]^T x [B,E,H] -> [B,V,H]: a batched matmul on the MXU.
         return jnp.einsum("bev,beh->bvh", oh, msg)
-    elif method == "segment":
+    elif method in ("segment", "take"):
+        # "take" accepted as an alias so layers can share one method flag
+        # with the gathers (which accept "segment" the same way)
         return jax.vmap(
             lambda m, r: jnp.zeros((num_nodes,) + m.shape[1:], m.dtype).at[r].add(m)
         )(msg, receivers)

@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--e", type=int, default=524288)
     ap.add_argument("--h", type=int, default=50)
     ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--halo", action="store_true",
+                    help="ALSO time the owner-sharded halo step (windowed"
+                         "+amp and xla+amp) on a 1-device mesh — the halo"
+                         " machinery's single-chip overhead")
     args = ap.parse_args()
 
     import jax
