@@ -38,13 +38,28 @@ def generate_pair(
     p_v_max: Optional[int] = None, p_e_max: Optional[int] = None,
     g_v_max: Optional[int] = None, g_e_max: Optional[int] = None,
     pair_id: str = "0-0",
+    plant: int = 0,
 ) -> Dict:
     """One dataset record: pattern/graph records + counts + subisomorphisms +
     derived node/edge weights (the reference stores these in metadata CSVs,
     utils/io.py:43-142, and derives weights lazily, dataset.py:1491-1520).
+
+    `plant` inserts that many copies of the pattern into the graph at
+    random injective node mappings (relabeling the mapped nodes and
+    overwriting `pe` random edge slots per copy). At large label
+    vocabularies a purely random graph contains ~zero matches — planting
+    is how the reference data generator controls the count distribution
+    (the published sets' counts are nonzero by construction).
     """
     ps, pr, pvl, pel = random_multidigraph(rng, pv, pe, num_vlabels, num_elabels)
     gs, gr, gvl, gel = random_multidigraph(rng, gv, ge, num_vlabels, num_elabels)
+    for j in range(plant):
+        m = rng.choice(gv, size=pv, replace=False)
+        gvl[m] = pvl
+        slots = slice(j * pe, (j + 1) * pe)
+        gs[slots] = m[ps]
+        gr[slots] = m[pr]
+        gel[slots] = pel
 
     subiso = enumerate_subisomorphisms(ps, pr, pvl, pel, gs, gr, gvl, gel)
     counts = subiso.shape[0]

@@ -42,8 +42,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _setup_jax(shards: int):
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={shards}")
+        flags += f" --xla_force_host_platform_device_count={shards}"
+    # Virtual devices timeslice the physical cores, so per-shard compute
+    # skew at large envelopes exceeds XLA's default in-process collective
+    # rendezvous terminate timeout (40 s — the run dies inside the first
+    # all_to_all otherwise). Real multi-chip meshes don't timeslice.
+    if "collective_call_terminate_timeout" not in flags:
+        flags += (" --xla_cpu_collective_timeout_seconds=1200"
+                  " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+    os.environ["XLA_FLAGS"] = flags
     import jax
 
     if not os.environ.get("DMP_EXAMPLE_TPU"):

@@ -1,0 +1,207 @@
+"""Pinned full-convergence SCM run at the Complex envelope (round-3 item 7).
+
+Trains the flagship DMPNN counting+matching configuration — Complex
+dataset envelope (reference SubgraphCountingMatching/README.md:88-118:
+pattern 8V/8E, graph 64V/256E, 16 labels, reversed-edge augmentation)
+with the reference training recipe (train.py:1231-1372: AdamW amsgrad
+wd 1e-5 clip 8.0, cosine-with-warmup-and-restart LR, annealed leaky
+slope, match losses, early stop on train-loss AND dev-metric staleness)
+— to EARLY STOP on an in-repo planted synthetic set, records the full
+per-epoch metric trajectory, and gates reruns against the stored
+artifact.
+
+NOT in the default test suite (a full run is ~10-30 min). Usage:
+    python scripts/scm_convergence.py --out SCM_CONVERGENCE.json   # record
+    python scripts/scm_convergence.py --check SCM_CONVERGENCE.json # gate
+The gate compares final dev MAE/MSE/MNED/MEED at generous tolerances
+(0.15 rel) — far above run-to-run jitter at fixed seeds, far below a
+real regression. DMP_EXAMPLE_TPU=1 runs on the chip (default); on a
+CPU-only rig pass --pairs 96 --max-epochs 8 for a smoke-scale version.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(pairs: int, max_epochs: int, early_stop: int, bsz: int, lr: float,
+        amp: bool, seed: int, log=print) -> dict:
+    import jax
+
+    from dualmessagepassing_tpu import build_model
+    from dualmessagepassing_tpu.data.dataset import GraphAdjDataset
+    from dualmessagepassing_tpu.data.synthetic import generate_pair
+    from dualmessagepassing_tpu.train import (
+        BucketSampler, TrainState, evaluate_epoch, make_eval_step,
+        make_optimizer, make_train_step, train_epoch)
+    from __graft_entry__ import _flagship_config
+
+    # --- planted Complex-envelope dataset (counts nonzero by construction)
+    rng = np.random.default_rng(seed)
+    t0 = time.perf_counter()
+    def one_pair(i):
+        # reject-resample the count tail: a planted pattern with many
+        # automorphisms can blow up to hundreds of matches, and a handful
+        # of such outliers dominates the MSE objective (the published
+        # Complex set's generator controls its count distribution too)
+        while True:
+            rec = generate_pair(rng, pv=8, pe=8, gv=64, ge=256,
+                                num_vlabels=16, num_elabels=16,
+                                p_v_max=8, p_e_max=8, g_v_max=64,
+                                g_e_max=256, pair_id=f"P{i}-G{i}",
+                                plant=int(rng.integers(0, 4)))
+            if rec["counts"] <= 60:
+                return rec
+
+    data = [one_pair(i) for i in range(pairs)]
+    n_dev = max(pairs // 6, 8)
+    train_ds = GraphAdjDataset(data[: pairs - 2 * n_dev])
+    dev_ds = GraphAdjDataset(data[pairs - 2 * n_dev: pairs - n_dev])
+    test_ds = GraphAdjDataset(data[pairs - n_dev:])
+    for ds in (train_ds, dev_ds, test_ds):
+        ds.add_reversed_edges(16, 16)   # train.py:1150-1158
+    counts = [d["counts"] for d in data]
+    log(f"dataset: {pairs} pairs in {time.perf_counter() - t0:.1f}s; "
+        f"counts mean {np.mean(counts):.2f} max {max(counts)} "
+        f"zero-frac {np.mean(np.asarray(counts) == 0):.2f}")
+
+    cfg = _flagship_config(add_rev=True)
+    model = build_model(cfg)
+    _, pattern, graph, _, _ = train_ds.batchify(range(min(bsz, 8)), "none")
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), pattern, graph)
+    tx = make_optimizer(lr=lr)   # AdamW amsgrad wd 1e-5 clip 8.0
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx, bp_loss="MSE",
+                           return_weights="nodeedge", amp=amp)
+    n_train = pairs - 2 * n_dev
+    steps_per_epoch = max(n_train // bsz, 1)
+    # reference warmup/cycle formulas (train.py:1246-1254, pinned by
+    # tests/test_schedules.py)
+    warmup = int(steps_per_epoch * 0.5 * min(0.06 * max_epochs, early_stop))
+    config = {
+        "train_epochs": max_epochs, "lr": lr,
+        "neg_pred_slp": "anneal_cosine$1.0$0.01",   # config.py:145-146
+        "match_loss_w": 0.1, "match_reg_w": 0.0, "rep_reg_w": 1e-5,
+        "scheduler": "cosine_with_warmup_and_restart",
+        "num_warmup_steps": warmup,
+        "num_schedule_steps": max_epochs * steps_per_epoch,
+        "num_cycles": max(max_epochs * steps_per_epoch // 20000, 1),
+        "pred_return_weights": "nodeedge", "bp_loss": "MSE",
+    }
+    eval_step = make_eval_step(model)
+    dev_sampler = BucketSampler(dev_ds.sizes(), ["g_len", "p_len"],
+                                batch_size=bsz, seed=0, shuffle=False)
+    test_sampler = BucketSampler(test_ds.sizes(), ["g_len", "p_len"],
+                                 batch_size=bsz, seed=0, shuffle=False)
+
+    trajectory = []
+    best_dev = float("inf")
+    best_loss = float("inf")
+    stale_dev = stale_loss = 0
+    rng_key = jax.random.PRNGKey(seed + 1)
+    stopped_at = max_epochs - 1
+    for epoch in range(max_epochs):
+        sampler = BucketSampler(train_ds.sizes(), ["g_len", "p_len"],
+                                batch_size=bsz, seed=epoch)
+        sampler.set_epoch(epoch)
+        rng_key, ep_key = jax.random.split(rng_key)
+        t0 = time.perf_counter()
+        state, totals = train_epoch(state, step, train_ds, sampler,
+                                    config, epoch, ep_key)
+        dev = evaluate_epoch(state.variables(), eval_step, dev_ds,
+                             dev_sampler, return_weights="nodeedge",
+                             model=model)
+        row = {"epoch": epoch,
+               "train_loss": round(float(totals["total"]), 6),
+               "dev_MAE": round(dev["MAE"], 6),
+               "dev_MSE": round(dev["MSE"], 6),
+               "dev_MNED": round(dev["MNED"], 6),
+               "dev_MEED": round(dev["MEED"], 6),
+               "epoch_s": round(time.perf_counter() - t0, 1)}
+        trajectory.append(row)
+        log(json.dumps(row))
+        # early stop when BOTH train loss and dev metric are stale
+        # (train.py:1368-1372)
+        stale_loss = 0 if totals["total"] < best_loss else stale_loss + 1
+        best_loss = min(best_loss, float(totals["total"]))
+        stale_dev = 0 if dev["MAE"] < best_dev else stale_dev + 1
+        best_dev = min(best_dev, float(dev["MAE"]))
+        if stale_loss > early_stop and stale_dev > early_stop:
+            stopped_at = epoch
+            break
+
+    test = evaluate_epoch(state.variables(), eval_step, test_ds,
+                          test_sampler, return_weights="nodeedge",
+                          model=model)
+    return {
+        "metric": "scm_convergence_dev_MAE",
+        "value": round(best_dev, 6),
+        "unit": "MAE",
+        "config": {"pairs": pairs, "bsz": bsz, "lr": lr, "amp": amp,
+                   "seed": seed, "max_epochs": max_epochs,
+                   "early_stop": early_stop,
+                   "envelope": "Complex+rev (8V/8E pattern, 64V/512E graph)"},
+        "platform": jax.devices()[0].platform,
+        "stopped_at_epoch": stopped_at,
+        "final": {"dev_MAE": trajectory[-1]["dev_MAE"],
+                  "dev_MSE": trajectory[-1]["dev_MSE"],
+                  "dev_MNED": trajectory[-1]["dev_MNED"],
+                  "dev_MEED": trajectory[-1]["dev_MEED"],
+                  "test_MAE": round(test["MAE"], 6),
+                  "test_MSE": round(test["MSE"], 6),
+                  "test_MNED": round(test["MNED"], 6),
+                  "test_MEED": round(test["MEED"], 6)},
+        "best_dev_MAE": round(best_dev, 6),
+        "trajectory": trajectory,
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=768)
+    ap.add_argument("--max-epochs", type=int, default=60)
+    ap.add_argument("--early-stop", type=int, default=5)
+    ap.add_argument("--bsz", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--amp", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--check", default=None,
+                    help="gate final metrics against this stored JSON")
+    args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    result = run(args.pairs, args.max_epochs, args.early_stop, args.bsz,
+                 args.lr, bool(args.amp), args.seed)
+    print(json.dumps({k: v for k, v in result.items() if k != "trajectory"}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    if args.check:
+        with open(args.check) as f:
+            ref = json.load(f)["final"]
+        bad = []
+        for k, v in ref.items():
+            got = result["final"][k]
+            if abs(got - v) > 0.15 * max(abs(v), 1e-6):
+                bad.append(f"{k}: expected {v}, got {got}")
+        if bad:
+            print("CONVERGENCE GATE FAILED: " + "; ".join(bad))
+            sys.exit(1)
+        print("convergence gate OK")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -131,6 +131,57 @@ def main():
         out[key] = {"device_ms": None if ms is None else round(ms, 3),
                     "flops": float(ca.get("flops", float("nan")))}
         print(json.dumps({key: out[key]}), flush=True)
+    if args.halo:
+        # Owner-sharded halo step on a 1-device mesh: the single-chip cost
+        # of the halo machinery itself (shard_map + degenerate all_to_all +
+        # loss all_gather) against the flat variants above. Multi-shard
+        # SEMANTICS are pinned on the 8-way virtual mesh
+        # (tests/test_halo_unc.py); this is the TIME point.
+        from jax.sharding import Mesh
+
+        from dualmessagepassing_tpu.parallel.halo_unc import (
+            build_halo_sub, halo_envelope, make_halo_train_step,
+            shard_halo_sub)
+
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("ep",))
+        vp, epv, b = halo_envelope(V, E, 1)
+        plain_vars = None
+        for variant, windowed, amp in [("halo_windowed_amp", True, True),
+                                       ("halo_xla_amp", False, True)]:
+            dev, _meta = build_halo_sub(sub_np, 1, vp, epv, b,
+                                        scatter_plan=windowed)
+            mkw = dict(num_nodes=V, num_rels=R, h_dim=H, nlabel=0,
+                       num_hidden_layers=args.layers, dropout=0.2,
+                       reg_param=0.01, backbone="DMPNN", sorted_edges=True,
+                       scatter_backend="windowed" if windowed else "xla")
+            halo_model = UNCTrainModel(ep_axis="ep", node_sharding="owner",
+                                       **mkw)
+            if plain_vars is None:
+                plain_vars = init_unc_variables(
+                    UNCTrainModel(**mkw), jax.random.PRNGKey(0), sub)
+            params = plain_vars["params"]
+            stats = plain_vars.get("batch_stats", {})
+            tx = optax.adam(1e-2)
+            opt = tx.init(params)
+            step = make_halo_train_step(halo_model, tx, mesh, amp=amp)
+            sharded = shard_halo_sub(mesh, dev)
+            compiled = step.lower(params, opt, stats, sharded,
+                                  jax.random.PRNGKey(1)).compile()
+            ca = compiled.cost_analysis() or {}
+            p, o, s = params, opt, stats
+            p, o, s, loss = compiled(p, o, s, sharded, jax.random.PRNGKey(2))
+            jax.block_until_ready(loss)
+            logdir = tempfile.mkdtemp(prefix="uncstep_halo_")
+            with jax.profiler.trace(logdir):
+                for k in range(args.iters):
+                    p, o, s, loss = compiled(p, o, s, sharded,
+                                             jax.random.PRNGKey(3 + k))
+                jax.block_until_ready(loss)
+            ms = device_ms_per_step(logdir, args.iters)
+            out[variant] = {"device_ms": None if ms is None else round(ms, 3),
+                            "flops": float(ca.get("flops", float("nan")))}
+            print(json.dumps({variant: out[variant]}), flush=True)
+
     if out.get("sorted", {}).get("device_ms") and \
        out.get("unsorted", {}).get("device_ms"):
         r = out["unsorted"]["device_ms"] / out["sorted"]["device_ms"]
