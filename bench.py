@@ -236,6 +236,14 @@ def build_unc_step(v: int, e: int, h: int = 50, layers: int = 2,
         "labels": (rng.random(s) < 0.2).astype(np.float32),
         "sample_mask": np.ones(s, bool),
     }
+    # host-precomputed accelerators, as pad_subgraph ships in production
+    # (global out-degrees + the sender-sort permutation for the sorted
+    # backward-scatter fast path — unc/model._take_rows_perm)
+    sub_np["out_deg"] = np.bincount(
+        sub_np["senders"], minlength=v).astype(np.float32)
+    so = np.argsort(sub_np["senders"], kind="stable")
+    sub_np["send_order"] = so.astype(np.int64)
+    sub_np["senders_sorted"] = sub_np["senders"][so]
     backend = os.environ.get("BENCH_UNC_BACKEND", "xla")
     if backend == "windowed":
         from dualmessagepassing_tpu.ops.segment_kernel import \

@@ -407,4 +407,19 @@ def pad_subgraph(sub: Dict[str, np.ndarray], samples: np.ndarray,
     if edge_norm is not None:
         out["edge_norm"] = np.concatenate(
             [edge_norm[order], np.zeros((e_max - n_e, 1), np.float32)], axis=0)
+    # Device-step accelerators, both pure functions of the arrays above
+    # (profile_unc_step round 3):
+    #   * out_deg: global out-degrees — computing them in-step was a
+    #     3.5 ms 1-lane scatter (the model falls back to it when absent);
+    #   * send_order / senders_sorted: a sender-sort permutation so the
+    #     sender-side gather COTANGENT can use XLA's sorted-scatter fast
+    #     path (unc.model._take_rows; pad rows sort as sender 0 and carry
+    #     exactly-zero cotangents, so their placement is harmless).
+    # The sharded executions ignore the sort keys (indices are global);
+    # out_deg is correct replicated (it is already the global degree).
+    out["out_deg"] = np.bincount(
+        sub["senders"], minlength=v_max).astype(np.float32)
+    send_order = np.argsort(out["senders"], kind="stable")
+    out["send_order"] = send_order
+    out["senders_sorted"] = out["senders"][send_order]
     return out

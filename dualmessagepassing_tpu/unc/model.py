@@ -22,10 +22,12 @@ Reference quirks preserved:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from ..constants import LEAKY_RELU_A
@@ -51,6 +53,93 @@ def _segment_sum_f32(msg, receivers, v, h, sorted_edges):
     agg = jnp.zeros((v, h), acc).at[receivers].add(
         msg.astype(acc), indices_are_sorted=sorted_edges)
     return agg.astype(msg.dtype)
+
+
+def _take_rows(table, idx, sorted_idx: bool = False):
+    """Row gather whose BACKWARD is an f32-accumulating scatter-add with
+    XLA's `indices_are_sorted` fast path when the index stream is sorted.
+
+    Autodiff's default gather transpose emits an unsorted scatter with a
+    bf16 accumulator under amp — at the Yelp envelope those cotangent
+    scatters ([524288, 50] -> [65536, 50]) were 7.4 ms EACH and 51% of
+    the whole UNC train step (scripts/profile_unc_step.py, round 3).
+    Receiver streams are sorted by construction (pad_subgraph / the
+    shard builders), which the fast path turns into ~4.5 ms; f32
+    accumulation also honors the amp exact-count rule (hub nodes sum
+    thousands of cotangent rows).
+
+    Module-level custom_vjp with idx carried as a residual — a
+    closure-captured traced idx leaks out of shard_map traces.
+    """
+    return _take_rows_p(table, idx, sorted_idx, table.shape[0],
+                        jnp.dtype(table.dtype).name)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _take_rows_p(table, idx, sorted_idx, n_rows, out_dtype):
+    return table[idx]
+
+
+def _take_rows_fwd(table, idx, sorted_idx, n_rows, out_dtype):
+    return table[idx], idx
+
+
+def _take_rows_bwd(sorted_idx, n_rows, out_dtype, idx, g):
+    out = jnp.zeros((n_rows, g.shape[-1]), jnp.float32).at[idx].add(
+        g.astype(jnp.float32), indices_are_sorted=sorted_idx)
+    return (out.astype(out_dtype),
+            np.zeros(idx.shape, jax.dtypes.float0))
+
+
+_take_rows_p.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
+def _take_rows_perm(table, idx, order, idx_sorted):
+    """_take_rows for UNSORTED index streams with a host-precomputed sort:
+    the backward permutes the cotangent rows by `order` (a plain gather,
+    near roofline) and scatters at `idx_sorted = idx[order]` with the
+    sorted fast path — 7.0 -> ~5.2 ms per sender-side cotangent at the
+    Yelp envelope. Pad rows carry exactly-zero cotangents, so their
+    position in the sort is harmless."""
+    return _take_rows_perm_p(table, idx, order, idx_sorted,
+                             table.shape[0], jnp.dtype(table.dtype).name)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _take_rows_perm_p(table, idx, order, idx_sorted, n_rows, out_dtype):
+    return table[idx]
+
+
+def _take_rows_perm_fwd(table, idx, order, idx_sorted, n_rows, out_dtype):
+    return table[idx], (order, idx_sorted)
+
+
+def _take_rows_perm_bwd(n_rows, out_dtype, res, g):
+    order, idx_sorted = res
+    gs = g.astype(jnp.float32)[order]
+    out = jnp.zeros((n_rows, g.shape[-1]), jnp.float32).at[idx_sorted].add(
+        gs, indices_are_sorted=True)
+    zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    return (out.astype(out_dtype), zero(idx_sorted), zero(order),
+            zero(idx_sorted))
+
+
+_take_rows_perm_p.defvjp(_take_rows_perm_fwd, _take_rows_perm_bwd)
+
+
+def _onehot_rows(table, idx, clip: bool = False):
+    """Tiny-table row lookup as one_hot(idx) @ table.
+
+    Exact selection on the MXU (each output row is a single 1.0-weighted
+    table row, f32-accumulated) whose TRANSPOSE is also a matmul — the
+    row-gather backward otherwise lowers to an XLA scatter of E rows
+    into a handful of relation rows (measured 3.5 ms into [6, 50] at the
+    Yelp envelope). Only for small tables (relations): the busywork is
+    O(E * R * H). `clip` reproduces gather's out-of-bounds clamping."""
+    n = table.shape[0]
+    if clip:
+        idx = jnp.minimum(idx, n - 1)
+    return jax.nn.one_hot(idx, n, dtype=table.dtype) @ table
 
 
 def _use_windowed(layer, sub, width) -> bool:
@@ -183,12 +272,51 @@ class DualGraphConv(nn.Module):
         # index space via the same table prefix.
         table = (_halo_table(node_feat, sub, self.ep_axis)
                  if owner_sharded else node_feat)
-        hw_src = table @ w_src
-        hw_dst = table @ w_dst
+
+        # global out-degrees: host-precomputed under owner sharding
+        # (edges whose SENDER is owned here may live on other shards),
+        # hoisted into sub by the DMPNN backbone otherwise (it is
+        # identical across layers — rebuilding it per layer cost a
+        # 3.5 ms narrow scatter per layer at the Yelp envelope)
+        if "out_deg" in sub:
+            out_deg = sub["out_deg"]
+        else:
+            out_deg = jnp.zeros((v,), jnp.float32).at[senders].add(
+                e_mask.astype(jnp.float32))
+            if self.ep_axis and not owner_sharded:
+                out_deg = jax.lax.psum(out_deg, self.ep_axis)
+
+        # ONE [Vt, 2H+1] column table — src/dst endpoint products plus the
+        # log-degree column — and ONE row gather per endpoint. The naive
+        # form (four [E, H] gathers + a 1-lane degree gather) pays five
+        # backward scatters per layer; this pays two, with the sorted
+        # fast path on the receiver side (_take_rows). The degree column
+        # rides along for free (it is only READ at receivers; the
+        # optimization_barrier keeps XLA from re-fusing the lane slices
+        # into the gather — a fused gather+slice is ~265x off roofline,
+        # ARCHITECTURE §8.3).
+        d_col = jnp.log2(1.0 + out_deg).astype(table.dtype)[:, None]
+        if table.shape[0] != d_col.shape[0]:
+            d_col = jnp.concatenate(
+                [d_col, jnp.zeros((table.shape[0] - d_col.shape[0], 1),
+                                  table.dtype)], axis=0)
+        cols = jnp.concatenate([table @ w_src, table @ w_dst, d_col],
+                               axis=1)
+        if "send_order" in sub and self.ep_axis is None:
+            # host-precomputed sender sort (pad_subgraph): sorted fast
+            # path on the sender-side cotangent scatter; sharded subs
+            # carry no sort keys (the indices would be global)
+            at_send = _take_rows_perm(cols, senders, sub["send_order"],
+                                      sub["senders_sorted"])
+        else:
+            at_send = _take_rows(cols, senders)
+        at_send = jax.lax.optimization_barrier(at_send)
+        at_recv = jax.lax.optimization_barrier(
+            _take_rows(cols, receivers, sorted_idx=self.sorted_edges))
         edge_msg = jnp.where(
             rev,
-            hw_dst[senders] - hw_src[receivers],
-            hw_dst[receivers] - hw_src[senders],
+            at_send[:, h: 2 * h] - at_recv[:, :h],
+            at_recv[:, h: 2 * h] - at_send[:, :h],
         )
         windowed = _use_windowed(self, sub, h)
         if windowed:
@@ -220,19 +348,10 @@ class DualGraphConv(nn.Module):
                            name="nmlp")(
             n_out, mask=sub["node_mask"], train=train)
 
-        if owner_sharded:
-            # global out-degrees of owned nodes (host-precomputed: edges
-            # whose SENDER is owned here may live on other shards)
-            out_deg = sub["out_deg"]
-        else:
-            out_deg = jnp.zeros((v,), jnp.float32).at[senders].add(
-                e_mask.astype(jnp.float32))
-            if self.ep_axis:
-                out_deg = jax.lax.psum(out_deg, self.ep_axis)
-        # degrees stay f32; cast the log term so bf16 compute (utils/amp)
-        # is not silently promoted back through the edge stream
-        d = jnp.log2(1.0 + out_deg)[receivers][:, None].astype(
-            edge_feat.dtype)
+        # log-degree at the receiver, already gathered in the column table
+        # above (f32 log2, cast to the compute dtype before the gather —
+        # identical values to casting after)
+        d = at_recv[:, 2 * h:].astype(edge_feat.dtype)
         add = 2.0 * (1.0 + d) * (edge_feat @ (w_src - w_dst))
         e_out = edge_feat @ w_eloop + edge_msg + add
         if self.use_bias:
@@ -267,6 +386,15 @@ class UNCDMPNN(nn.Module):
     @nn.compact
     def __call__(self, sub, train: bool = False):
         h, z = _input_embeddings(self, sub, rel_stream=True)
+
+        # hoist the (layer-invariant) global out-degree so every
+        # DualGraphConv reads it instead of rebuilding the scatter
+        if "out_deg" not in sub and self.node_sharding != "owner":
+            od = jnp.zeros((sub["node_mask"].shape[0],), jnp.float32).at[
+                sub["senders"]].add(sub["edge_mask"].astype(jnp.float32))
+            if self.ep_axis:
+                od = jax.lax.psum(od, self.ep_axis)
+            sub = dict(sub, out_deg=od)
 
         norm = sub.get("edge_norm")
         for i in range(self.num_hidden_layers):
@@ -337,7 +465,8 @@ class CompGraphConv(nn.Module):
         table = (_halo_table(node_feat, sub, self.ep_axis)
                  if owner_sharded else node_feat)
         v = sub["node_mask"].shape[0]
-        comp = comp_func(table[sub["senders"]], edge_feat, self.comp_opt)
+        comp = comp_func(_take_rows(table, sub["senders"]), edge_feat,
+                         self.comp_opt)
         rev = sub["rev_flag"][:, None]
         # kernel-native 128-lane messages via weight-column zero-padding
         # (same fusion trick as DualGraphConv / segment_kernel docstring)
@@ -426,7 +555,7 @@ class RelGraphConvFlat(nn.Module):
         owner_sharded = self.node_sharding == "owner"
         table = (_halo_table(node_feat, sub, self.ep_axis)
                  if owner_sharded else node_feat)
-        src = table[sub["senders"]]
+        src = _take_rows(table, sub["senders"])
         if self.use_norm and edge_norm is not None:
             src = src * edge_norm.astype(src.dtype)
         out = _flat_relation_agg(sub, src, weights, self,
@@ -560,7 +689,9 @@ def _input_embeddings(mdl, sub, rel_stream: bool):
             lambda k, s: jax.random.uniform(
                 k, s, jnp.float32, -1, 1) / jnp.sqrt(float(mdl.h_dim)),
             (mdl.num_rels, mdl.h_dim))
-        z = rel_emb[sub["edge_type"]]
+        # one_hot @ table: exact, and the backward is a matmul instead of
+        # an [E]-rows-into-[2R] XLA scatter (3.5 ms at the Yelp envelope)
+        z = _onehot_rows(rel_emb, sub["edge_type"])
     return h, z
 
 
@@ -672,7 +803,7 @@ class UNCTrainModel(nn.Module):
 
     def calc_score(self, node_emb, triplets):
         s = node_emb[triplets[:, 0]]
-        r = self.w_relation[triplets[:, 1]]
+        r = _onehot_rows(self.w_relation, triplets[:, 1])
         o = node_emb[triplets[:, 2]]
         return jnp.sum(s * r * o, axis=1)
 
@@ -703,8 +834,8 @@ class UNCTrainModel(nn.Module):
             mask = jnp.logical_and(
                 edge_type < self.num_rels,
                 edge_mask if edge_mask is not None else True)
-            diff = self.edge_fc(emb) - self.w_relation[
-                jnp.minimum(edge_type, self.num_rels - 1)]
+            diff = self.edge_fc(emb) - _onehot_rows(
+                self.w_relation, edge_type, clip=True)
             sq = jnp.sum(diff ** 2, axis=1)
             cnt = jnp.maximum(_psum(jnp.sum(mask)), 1)
             reg = reg + _psum(jnp.sum(jnp.where(mask, sq, 0.0))) / (
