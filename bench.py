@@ -244,7 +244,11 @@ def build_unc_step(v: int, e: int, h: int = 50, layers: int = 2,
     so = np.argsort(sub_np["senders"], kind="stable")
     sub_np["send_order"] = so.astype(np.int64)
     sub_np["senders_sorted"] = sub_np["senders"][so]
-    backend = os.environ.get("BENCH_UNC_BACKEND", "xla")
+    # windowed is the measured-best production composition after the
+    # round-3 gather-VJP restructure (52.5 ms vs 55.9 xla at this
+    # envelope — the kernel's margin returned once the scatter share
+    # grew; ARCHITECTURE §8.3)
+    backend = os.environ.get("BENCH_UNC_BACKEND", "windowed")
     if backend == "windowed":
         from dualmessagepassing_tpu.ops.segment_kernel import \
             attach_scatter_plan
