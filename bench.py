@@ -341,7 +341,7 @@ def main_unc():
         "flops_per_step": flops,
         "mfu": round(mfu, 4),
         "amp": os.environ.get("BENCH_AMP", "1") == "1",
-        "backend": os.environ.get("BENCH_UNC_BACKEND", "xla"),
+        "backend": os.environ.get("BENCH_UNC_BACKEND", "windowed"),
     }
     if scale_ratio is not None:
         out["scale_ratio_4x"] = round(scale_ratio, 2)

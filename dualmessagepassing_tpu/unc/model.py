@@ -96,11 +96,14 @@ _take_rows_p.defvjp(_take_rows_fwd, _take_rows_bwd)
 
 def _take_rows_perm(table, idx, order, idx_sorted):
     """_take_rows for UNSORTED index streams with a host-precomputed sort:
-    the backward permutes the cotangent rows by `order` (a plain gather,
-    near roofline) and scatters at `idx_sorted = idx[order]` with the
-    sorted fast path — 7.0 -> ~5.2 ms per sender-side cotangent at the
-    Yelp envelope. Pad rows carry exactly-zero cotangents, so their
-    position in the sort is harmless."""
+    the backward permutes the cotangent rows by `order` and scatters at
+    `idx_sorted = idx[order]` with the sorted fast path. XLA fuses the
+    permute INTO the scatter; the fused form measures 6.96 ms per
+    sender-side cotangent at the Yelp envelope vs 7.4 unsorted — and vs
+    9.85 for a barrier-SPLIT permute+scatter (a materialized [E, H]
+    permute is itself random-row-access bound at 5.57 ms; splitting
+    never pays — device A/B, round 3). Pad rows carry exactly-zero
+    cotangents, so their position in the sort is harmless."""
     return _take_rows_perm_p(table, idx, order, idx_sorted,
                              table.shape[0], jnp.dtype(table.dtype).name)
 
