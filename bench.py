@@ -272,9 +272,13 @@ def build_unc_step(v: int, e: int, h: int = 50, layers: int = 2,
     ca = compiled.cost_analysis() or {}
     flops = float(ca.get("flops", float("nan")))
 
+    # hoisted: an eager PRNGKey() per advance serializes two ~0.6 ms
+    # jit(_threefry_seed) programs into the measured device stream
+    # (1.2 ms of the step time was harness RNG, not the step)
+    key = jax.random.PRNGKey(2)
+
     def advance(state):
-        p, o, st, loss = compiled(state[0], state[1], state[2], sub,
-                                  jax.random.PRNGKey(2))
+        p, o, st, loss = compiled(state[0], state[1], state[2], sub, key)
         return (p, o, st, loss)
 
     return advance, (params, opt, stats), flops

@@ -234,6 +234,9 @@ def train_unc_supervised(
 
     prev_loss = float("inf")
     k = 0
+    # base key built ONCE: an eager PRNGKey() per step costs two ~0.6 ms
+    # threefry programs on the device stream (bench.py profile)
+    base_key = jax.random.PRNGKey(seed)
     with ThreadPoolExecutor(max_workers=max(prefetch, 1)) as tpool:
         for epoch in range(n_epochs):
             losses = []
@@ -255,7 +258,7 @@ def train_unc_supervised(
                 params, opt_state, batch_stats, loss = step(
                     params, opt_state, batch_stats, sub, jnp.asarray(ml),
                     jnp.asarray(mi), jnp.asarray(mm),
-                    jax.random.fold_in(jax.random.PRNGKey(seed), k))
+                    jax.random.fold_in(base_key, k))
                 k += 1
                 losses.append(float(loss))
             loss = sum(losses) / max(len(losses), 1)
@@ -481,6 +484,7 @@ def train_unc(
     # the shared Generator is not thread-safe.
     from concurrent.futures import ThreadPoolExecutor
 
+    base_key = jax.random.PRNGKey(seed)  # once; see train_unc note
     with ThreadPoolExecutor(max_workers=max(prefetch, 1)) as pool:
         for epoch in range(start_epoch, n_epochs):
             batch_list = list(batches(train_edges, graph_batch_size,
@@ -508,7 +512,7 @@ def train_unc(
                 if nxt < len(batch_list):
                     futures[nxt] = submit(nxt)
                 sub = to_device(sub)
-                step_key = jax.random.fold_in(jax.random.PRNGKey(seed), k_step)
+                step_key = jax.random.fold_in(base_key, k_step)
                 k_step += 1
                 params, opt_state, batch_stats, loss = step(
                     params, opt_state, batch_stats, sub, step_key)
