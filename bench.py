@@ -33,6 +33,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 re-anchored in round 2 with this device-trace method on the round-1 model
 (376.4 ms/step at bsz 2048 => 2.87M edges/s; the reference publishes no
 throughput numbers, BASELINE.md).
+
+Workloads (BENCH_WORKLOAD):
+  scm (default)  SCM train step (above).
+  unc            UNC train step, Yelp-ish envelope (main_unc docstring).
+  scm_infer      forward-only SCM serving latency/throughput — mirrors the
+                 reference's per-sample eval forward time (train.py:939-940).
+  unc_infer      forward-only UNC embedding export (main.py:184-209), the
+                 full-graph eval pass. Anchors: BASELINE_BENCH_*_INFER.json
+                 (own f32 starting points; amp/windowed are the deltas).
 """
 
 from __future__ import annotations
@@ -356,6 +365,172 @@ def main_unc():
         sys.exit(1)
 
 
+def build_scm_infer(bsz: int):
+    """Forward-only SCM inference step (the serving path): the reference's
+    only latency metric is eval forward time per sample
+    (SubgraphCountingMatching/train.py:939-940, no published value).
+    Same flagship Complex envelope and amp default as the train bench."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualmessagepassing_tpu import build_model
+    from __graft_entry__ import _flagship_config, _make_batch
+
+    cfg = _flagship_config()
+    model = build_model(cfg)
+    pattern, graph = _make_batch(bsz, 8, 8, 64, 256, 16, 16)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), pattern, graph)
+    amp = os.environ.get("BENCH_AMP", "1") == "1"
+
+    def forward(p, pattern, graph):
+        if amp:
+            from dualmessagepassing_tpu.utils.amp import (cast_floats,
+                                                          compute_dtype_scope)
+
+            with compute_dtype_scope(jnp.bfloat16):
+                out = model.apply(cast_floats(p, jnp.bfloat16),
+                                  cast_floats(pattern, jnp.bfloat16),
+                                  cast_floats(graph, jnp.bfloat16))
+            return cast_floats(out["pred_c"], jnp.float32)
+        return model.apply(p, pattern, graph)["pred_c"]
+
+    compiled = jax.jit(forward).lower(params, pattern, graph).compile()
+    ca = compiled.cost_analysis() or {}
+    flops = float(ca.get("flops", float("nan")))
+
+    # iterations are independent programs; the TPU executes queued
+    # programs in order on one stream and the XLA-Modules lane sums
+    # every execution, so no dependency threading is needed
+    def advance(state):
+        return (compiled(params, pattern, graph),)
+
+    return advance, (jnp.zeros((1, 1), jnp.float32),), flops
+
+
+def build_unc_infer(v: int, e: int):
+    """Forward-only UNC inference (the embedding-export serving path,
+    unc/driver.py:make_unc_embed_step; reference main.py:184-209 exports
+    embeddings with the trained model in eval mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualmessagepassing_tpu.unc.model import (UNCTrainModel,
+                                                  apply_unc_forward,
+                                                  init_unc_variables)
+
+    h = int(os.environ.get("BENCH_UNC_H", "50"))
+    R = 3
+    rng = np.random.default_rng(0)
+    senders = rng.integers(0, v, e).astype(np.int32)
+    receivers = rng.integers(0, v, e).astype(np.int32)
+    order = np.argsort(receivers, kind="stable")
+    sub_np = {
+        "nid": np.arange(v, dtype=np.int64),
+        "senders": senders[order],
+        "receivers": receivers[order],
+        "edge_type": rng.integers(0, 2 * R, e).astype(np.int32)[order],
+        "rev_flag": (rng.random(e) < 0.5)[order],
+        "edge_mask": np.ones(e, bool),
+        "node_mask": np.ones(v, bool),
+        "edge_norm": (1.0 / np.maximum(
+            np.bincount(receivers, minlength=v)[receivers], 1)
+        ).astype(np.float32)[order][:, None],
+        "samples": np.zeros((8, 3), np.int64),
+        "labels": np.zeros(8, np.float32),
+        "sample_mask": np.zeros(8, bool),
+    }
+    sub_np["out_deg"] = np.bincount(
+        sub_np["senders"], minlength=v).astype(np.float32)
+    backend = os.environ.get("BENCH_UNC_BACKEND", "windowed")
+    if backend == "windowed":
+        from dualmessagepassing_tpu.ops.segment_kernel import \
+            attach_scatter_plan
+
+        sub_np = attach_scatter_plan(sub_np)
+    sub = {k: jnp.asarray(val) for k, val in sub_np.items()}
+    amp = os.environ.get("BENCH_AMP", "1") == "1"
+
+    model = UNCTrainModel(
+        num_nodes=v, num_rels=R, h_dim=h, nlabel=0,
+        num_hidden_layers=2, dropout=0.0, reg_param=0.01,
+        backbone="DMPNN", sorted_edges=True, scatter_backend=backend)
+    variables = init_unc_variables(model, jax.random.PRNGKey(0), sub)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    key = jax.random.PRNGKey(1)
+
+    def forward(p, st, sub):
+        (out, _pred), _ = apply_unc_forward(model, p, st, sub, key,
+                                            amp=amp, train=False)
+        return out[0]
+
+    compiled = jax.jit(forward).lower(params, stats, sub).compile()
+    ca = compiled.cost_analysis() or {}
+    flops = float(ca.get("flops", float("nan")))
+
+    def advance(state):
+        emb = compiled(params, stats, sub)
+        return (emb,)
+
+    return advance, (jnp.zeros((v, h), jnp.float32),), flops
+
+
+def main_infer(workload: str):
+    """BENCH_WORKLOAD=scm_infer|unc_infer: forward-only serving bench."""
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    if workload == "scm_infer":
+        bsz = int(os.environ.get("BENCH_BSZ", "512"))
+        advance, state0, flops = build_scm_infer(bsz)
+        dev_ms, host_ms = time_step(advance, state0, iters)
+        denom_name, denom = "samples", bsz
+        metric = "scm_infer_samples_per_sec"
+        extras = {"bsz": bsz}
+        base_name = "BASELINE_BENCH_SCM_INFER.json"
+    else:
+        v = int(os.environ.get("BENCH_UNC_V", "65536"))
+        e = int(os.environ.get("BENCH_UNC_E", "524288"))
+        advance, state0, flops = build_unc_infer(v, e)
+        dev_ms, host_ms = time_step(advance, state0, iters)
+        denom_name, denom = "edges", e
+        metric = "unc_infer_edges_per_sec"
+        extras = {"v": v, "e": e,
+                  "backend": os.environ.get("BENCH_UNC_BACKEND", "windowed")}
+        base_name = "BASELINE_BENCH_UNC_INFER.json"
+
+    clock, step_ms = "device_trace", dev_ms
+    if step_ms is None:
+        clock, step_ms = "host_blocked", host_ms
+    mfu = flops / (step_ms / 1e3) / PEAK_FLOPS
+    rate = denom / (step_ms / 1e3)
+
+    err = None
+    if mfu > 1.0:
+        err = (f"IMPOSSIBLE: apparent MFU {mfu:.2f} > 1.0 — clock is lying")
+
+    vs = 1.0
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             base_name)
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            ref = json.load(f).get(metric)
+        if ref:
+            vs = rate / ref
+
+    out = {
+        "metric": metric, "value": round(rate, 1),
+        "unit": f"{denom_name}/s", "vs_baseline": round(vs, 3),
+        "step_ms": round(step_ms, 3), "clock": clock,
+        "host_step_ms": round(host_ms, 3), "flops_per_step": flops,
+        "mfu": round(mfu, 4),
+        "amp": os.environ.get("BENCH_AMP", "1") == "1", **extras,
+    }
+    if err:
+        out["error"] = err
+    print(json.dumps(out))
+    if err:
+        sys.exit(1)
+
+
 def _probe_backend(timeout_s: float = 300.0) -> Optional[str]:
     """Initialize the device backend in a side thread with a timeout.
 
@@ -397,8 +572,12 @@ def main():
         import jax
         jax.config.update("jax_default_matmul_precision", prec)
 
-    if os.environ.get("BENCH_WORKLOAD", "scm") == "unc":
+    workload = os.environ.get("BENCH_WORKLOAD", "scm")
+    if workload == "unc":
         main_unc()
+        return
+    if workload in ("scm_infer", "unc_infer"):
+        main_infer(workload)
         return
 
     # tracing through the remote-dispatch relay is slow host-side (~80 s
