@@ -325,13 +325,15 @@ def main_unc():
     if scale_check and err is None:
         small_dev, small_host, _ = measure_unc(v, e // 4,
                                                max(iters // 2, 3))
-        small_ms = small_dev if clock == "device_trace" and small_dev \
-            else small_host
-        scale_ratio = step_ms / max(small_ms, 1e-9)
-        if scale_ratio < 1.5:
-            err = (f"SCALE CHECK FAILED: step(E={e})={step_ms:.2f} ms vs "
-                   f"step(E={e // 4})={small_ms:.2f} ms (ratio "
-                   f"{scale_ratio:.2f} < 1.5) — timing not tracking compute")
+        # compare like clocks ONLY (device vs host disagree by up to 90x
+        # through the relay — a cross-clock ratio is meaningless)
+        small_ms = small_dev if clock == "device_trace" else small_host
+        if small_ms:
+            scale_ratio = step_ms / max(small_ms, 1e-9)
+            if scale_ratio < 1.5:
+                err = (f"SCALE CHECK FAILED: step(E={e})={step_ms:.2f} ms vs "
+                       f"step(E={e // 4})={small_ms:.2f} ms (ratio "
+                       f"{scale_ratio:.2f} < 1.5) — timing not tracking compute")
 
     vs = 1.0
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -507,6 +509,25 @@ def main_infer(workload: str):
     if mfu > 1.0:
         err = (f"IMPOSSIBLE: apparent MFU {mfu:.2f} > 1.0 — clock is lying")
 
+    # scaling gate (same spirit as the train benches; the MFU<=1 gate
+    # alone is inert when cost_analysis has no flops -> mfu NaN)
+    scale_ratio = None
+    if os.environ.get("BENCH_SCALECHECK", "1") == "1" and err is None:
+        if workload == "scm_infer":
+            s_adv, s_state, _ = build_scm_infer(max(extras["bsz"] // 4, 1))
+        else:
+            s_adv, s_state, _ = build_unc_infer(extras["v"],
+                                                extras["e"] // 4)
+        s_dev, s_host = time_step(s_adv, s_state, max(iters // 2, 3))
+        small_ms = s_dev if clock == "device_trace" else s_host
+        if small_ms:   # like clocks only
+            scale_ratio = step_ms / max(small_ms, 1e-9)
+            if scale_ratio < 1.5:
+                err = (f"SCALE CHECK FAILED: {step_ms:.2f} ms full vs "
+                       f"{small_ms:.2f} ms at 1/4 size (ratio "
+                       f"{scale_ratio:.2f} < 1.5) — timing not tracking"
+                       " compute")
+
     vs = 1.0
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              base_name)
@@ -524,6 +545,8 @@ def main_infer(workload: str):
         "mfu": round(mfu, 4),
         "amp": os.environ.get("BENCH_AMP", "1") == "1", **extras,
     }
+    if scale_ratio is not None:
+        out["scale_ratio_4x"] = round(scale_ratio, 2)
     if err:
         out["error"] = err
     print(json.dumps(out))
@@ -562,9 +585,16 @@ def _probe_backend(timeout_s: float = 300.0) -> Optional[str]:
 def main():
     err = _probe_backend(float(os.environ.get("BENCH_INIT_TIMEOUT", "300")))
     if err:
+        fail_metric = {
+            "scm": ("scm_train_edges_per_sec", "edges/s"),
+            "unc": ("unc_train_edges_per_sec", "edges/s"),
+            "scm_infer": ("scm_infer_samples_per_sec", "samples/s"),
+            "unc_infer": ("unc_infer_edges_per_sec", "edges/s"),
+        }.get(os.environ.get("BENCH_WORKLOAD", "scm"),
+              ("scm_train_edges_per_sec", "edges/s"))
         print(json.dumps({
-            "metric": "scm_train_edges_per_sec", "value": 0.0,
-            "unit": "edges/s", "vs_baseline": 0.0, "error": err}))
+            "metric": fail_metric[0], "value": 0.0,
+            "unit": fail_metric[1], "vs_baseline": 0.0, "error": err}))
         sys.exit(1)
 
     prec = os.environ.get("BENCH_PRECISION")
@@ -612,12 +642,13 @@ def main():
     scale_ratio = None
     if scale_check and err is None and bsz >= 4:
         small_dev, small_host, _ = measure(bsz // 4, max(iters // 2, 3))
-        small_ms = small_dev if clock == "device_trace" and small_dev else small_host
-        scale_ratio = step_ms / max(small_ms, 1e-9)
-        if scale_ratio < 1.5:
-            err = (f"SCALE CHECK FAILED: step({bsz})={step_ms:.2f} ms vs "
-                   f"step({bsz // 4})={small_ms:.2f} ms (ratio "
-                   f"{scale_ratio:.2f} < 1.5) — timing not tracking compute")
+        small_ms = small_dev if clock == "device_trace" else small_host
+        if small_ms:   # like clocks only (see main_unc note)
+            scale_ratio = step_ms / max(small_ms, 1e-9)
+            if scale_ratio < 1.5:
+                err = (f"SCALE CHECK FAILED: step({bsz})={step_ms:.2f} ms vs "
+                       f"step({bsz // 4})={small_ms:.2f} ms (ratio "
+                       f"{scale_ratio:.2f} < 1.5) — timing not tracking compute")
 
     vs = 1.0
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

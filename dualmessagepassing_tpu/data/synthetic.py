@@ -51,6 +51,15 @@ def generate_pair(
     is how the reference data generator controls the count distribution
     (the published sets' counts are nonzero by construction).
     """
+    if plant:
+        if pv > gv:
+            raise ValueError(
+                f"plant needs pv <= gv (pattern {pv} nodes into a {gv}-node"
+                " graph)")
+        if plant * pe > ge:
+            raise ValueError(
+                f"plant={plant} needs plant*pe <= ge ({plant}*{pe} edge"
+                f" slots > {ge} graph edges)")
     ps, pr, pvl, pel = random_multidigraph(rng, pv, pe, num_vlabels, num_elabels)
     gs, gr, gvl, gel = random_multidigraph(rng, gv, ge, num_vlabels, num_elabels)
     for j in range(plant):

@@ -32,15 +32,22 @@ def _apply_table(table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     op of the flagship SCM step (0.100 ms/step at bsz 128 — ~13 GB/s,
     far off the HBM roofline; ARCHITECTURE §8.6), while the one-hot form
     is a tiny MXU matmul whose TRANSPOSE is also a matmul (scatter-free
-    backward for trainable tables). Exact even at default bf16 matmul
-    precision: each output row is one 1.0-weighted table row accumulated
-    in f32. Ids are clipped to match gather's out-of-bounds clamping.
+    backward for trainable tables). Ids are clipped to match gather's
+    out-of-bounds clamping.
+
+    Precision: exact under amp (bf16 tables — one_hot rows are 0/1, f32
+    accumulate selects one bf16 row verbatim). An f32 table is forced to
+    HIGHEST dot precision so the selection stays bit-exact like the
+    gather it replaces — TPU's default bf16 matmul precision would round
+    the f32 values; bf16x3 emulation on these small tables is noise.
     """
     if jnp.issubdtype(x.dtype, jnp.integer):
         n = table.shape[0]
         if n <= 2048:  # consistent with ops/scatter._DENSE_V_LIMIT
             oh = jax.nn.one_hot(jnp.clip(x, 0, n - 1), n, dtype=table.dtype)
-            return oh @ table
+            prec = ("highest"
+                    if jnp.dtype(table.dtype) == jnp.float32 else None)
+            return jnp.matmul(oh, table, precision=prec)
         return table[x]
     if x.shape[-1] == table.shape[0]:
         return x @ table

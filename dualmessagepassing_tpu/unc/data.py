@@ -362,7 +362,8 @@ def subgraph_degrees(sub: Dict[str, np.ndarray]) -> Tuple[np.ndarray, np.ndarray
 
 def pad_subgraph(sub: Dict[str, np.ndarray], samples: np.ndarray,
                  labels: np.ndarray, v_max: int, e_max: int, s_max: int,
-                 edge_norm: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
+                 edge_norm: Optional[np.ndarray] = None,
+                 send_keys: bool = True) -> Dict[str, np.ndarray]:
     """Pad a sampled subgraph + DistMult samples to static shapes.
 
     samples are (src, rel, dst) with subgraph-local node ids.  Overflow of
@@ -415,11 +416,15 @@ def pad_subgraph(sub: Dict[str, np.ndarray], samples: np.ndarray,
     #     sender-side gather COTANGENT can use XLA's sorted-scatter fast
     #     path (unc.model._take_rows; pad rows sort as sender 0 and carry
     #     exactly-zero cotangents, so their placement is harmless).
-    # The sharded executions ignore the sort keys (indices are global);
+    # Only the single-device TRAIN path reads the sort keys
+    # (unc.model guards on `"send_order" in sub and ep_axis is None`);
+    # sharded and forward-only callers pass send_keys=False to skip the
+    # O(E log E) host argsort and the two dead e_max-length arrays.
     # out_deg is correct replicated (it is already the global degree).
     out["out_deg"] = np.bincount(
         sub["senders"], minlength=v_max).astype(np.float32)
-    send_order = np.argsort(out["senders"], kind="stable")
-    out["send_order"] = send_order
-    out["senders_sorted"] = out["senders"][send_order]
+    if send_keys:
+        send_order = np.argsort(out["senders"], kind="stable")
+        out["send_order"] = send_order
+        out["senders_sorted"] = out["senders"][send_order]
     return out

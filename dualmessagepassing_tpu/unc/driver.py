@@ -78,7 +78,7 @@ def make_unc_embed_step(model: UNCTrainModel) -> Callable:
 def sample_batch(graph: WholeGraph, edges: np.ndarray, sampler: str,
                  depth: int, width: int, split_size: float,
                  negative_rate: int, v_max: int, e_max: int, s_max: int,
-                 rng) -> Dict[str, np.ndarray]:
+                 rng, send_keys: bool = True) -> Dict[str, np.ndarray]:
     """generate_sampled_graph_and_labels_unsupervised + padding
     (utils.py:399-434)."""
     neg = negative_sampling(edges, graph.num_nodes, negative_rate, rng)
@@ -97,7 +97,7 @@ def sample_batch(graph: WholeGraph, edges: np.ndarray, sampler: str,
     labels[: len(edges)] = 1.0
     norm = compute_edgenorm(sub)
     return pad_subgraph(sub, samples, labels, v_max, e_max, s_max,
-                        edge_norm=norm)
+                        edge_norm=norm, send_keys=send_keys)
 
 
 def make_unc_supervised_step(model: UNCTrainModel, tx, multi: bool,
@@ -424,9 +424,14 @@ def train_unc(
             yield edges[order[i: i + bsz]]
 
     # init
+    # sender-sort keys feed the single-device cotangent fast path only
+    # (unc.model guards on ep_axis is None) — skip the per-batch host
+    # argsort + two dead e_max arrays under sharding / forward-only
+    send_keys = ep_devices is None
     first = sample_batch(graph, train_edges[: graph_batch_size], sampler,
                          sample_depth, sample_width, graph_split_size,
-                         negative_rate, v_max, e_max, s_max, rng)
+                         negative_rate, v_max, e_max, s_max, rng,
+                         send_keys=send_keys)
     first_dev = {k: jnp.asarray(v) for k, v in first.items()}
     log("initializing parameters (jit)...")
     variables = init_unc_variables(init_model, jax.random.PRNGKey(seed),
@@ -495,7 +500,7 @@ def train_unc(
                 return host_prepare(sample_batch(
                     graph, edges_i, sampler, sample_depth, sample_width,
                     graph_split_size, negative_rate, v_max, e_max, s_max,
-                    brng))
+                    brng, send_keys=send_keys))
 
             def submit(i):
                 return pool.submit(sample_and_prepare, batch_list[i],
@@ -568,7 +573,8 @@ def train_unc(
     for edges in batches(triplets, graph_batch_size * 4, shuffle=False):
         subp = sample_batch(graph, edges, sampler, sample_depth, sample_width,
                             graph_split_size, negative_rate, v_max, e_max,
-                            graph_batch_size * 4 * (1 + negative_rate), rng)
+                            graph_batch_size * 4 * (1 + negative_rate), rng,
+                            send_keys=False)   # forward-only export
         h = np.asarray(embed_step(variables, subp))
         nm = subp["node_mask"]
         nid = subp["nid"][nm]

@@ -133,16 +133,25 @@ _take_rows_perm_p.defvjp(_take_rows_perm_fwd, _take_rows_perm_bwd)
 def _onehot_rows(table, idx, clip: bool = False):
     """Tiny-table row lookup as one_hot(idx) @ table.
 
-    Exact selection on the MXU (each output row is a single 1.0-weighted
-    table row, f32-accumulated) whose TRANSPOSE is also a matmul — the
+    Row selection on the MXU whose TRANSPOSE is also a matmul — the
     row-gather backward otherwise lowers to an XLA scatter of E rows
     into a handful of relation rows (measured 3.5 ms into [6, 50] at the
     Yelp envelope). Only for small tables (relations): the busywork is
-    O(E * R * H). `clip` reproduces gather's out-of-bounds clamping."""
+    O(E * R * H). `clip` reproduces gather's out-of-bounds clamping on
+    BOTH sides (XLA clamps negatives to row 0; one_hot of a negative
+    would otherwise select nothing).
+
+    Precision: exact under amp (bf16 table, one_hot rows are 0/1, f32
+    accumulate). For an f32 table the dot is forced to HIGHEST precision
+    so the selected rows stay bit-exact — TPU's default bf16 matmul
+    precision would round the f32 master values, unlike the gather this
+    replaces; the small-table FLOP cost of the emulation is noise."""
     n = table.shape[0]
     if clip:
-        idx = jnp.minimum(idx, n - 1)
-    return jax.nn.one_hot(idx, n, dtype=table.dtype) @ table
+        idx = jnp.clip(idx, 0, n - 1)
+    prec = ("highest" if jnp.dtype(table.dtype) == jnp.float32 else None)
+    return jnp.matmul(jax.nn.one_hot(idx, n, dtype=table.dtype), table,
+                      precision=prec)
 
 
 def _use_windowed(layer, sub, width) -> bool:
@@ -284,9 +293,17 @@ class DualGraphConv(nn.Module):
         if "out_deg" in sub:
             out_deg = sub["out_deg"]
         else:
+            if owner_sharded:
+                # an in-step scatter would count only locally-resident
+                # edges — out-edges of owned nodes live on OTHER shards
+                # under owner placement, so degrees would silently
+                # undercount; build_halo_sub always precomputes out_deg
+                raise ValueError(
+                    "owner-sharded subs must carry host-precomputed "
+                    "'out_deg' (parallel/halo_unc.build_halo_sub)")
             out_deg = jnp.zeros((v,), jnp.float32).at[senders].add(
                 e_mask.astype(jnp.float32))
-            if self.ep_axis and not owner_sharded:
+            if self.ep_axis:
                 out_deg = jax.lax.psum(out_deg, self.ep_axis)
 
         # ONE [Vt, 2H+1] column table — src/dst endpoint products plus the
