@@ -160,6 +160,13 @@ def _v5_kernel(blk_ref, win_ref, first_ref, msg_ref, recv_ref, out_ref,
             onehot_bool.astype(jnp.float32), chunk, dimension_numbers=dn,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
+    elif mode == "bf16":
+        # bf16 INPUT stream, f32 accumulate: exactly XLA's semantics for
+        # an f32-accumulating scatter of bf16 rows, in ONE MXU pass (the
+        # values are already bf16 — there is no lo half to preserve)
+        part = jax.lax.dot_general(
+            onehot_bool.astype(jnp.bfloat16), chunk, dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
     else:  # "hilo": exact bf16 one-hot x (hi + lo) bf16 split, 2 passes
         onehot = onehot_bool.astype(jnp.bfloat16)
         hi = chunk.astype(jnp.bfloat16)
@@ -212,11 +219,12 @@ INTERPRET = False
 
 def _v5_impl(msg128, recv_col, blk, win, first, v_pad, T, W, mode):
     if jax.default_backend() != "tpu" and not INTERPRET:
-        # same semantics via XLA scatter (tests compare the two)
+        # same semantics via XLA scatter (tests compare the two);
+        # astype: the bf16 input mode still accumulates f32
         r = recv_col[: msg128.shape[0], 0]
         safe = jnp.minimum(r, v_pad + W - 1)
         return jnp.zeros((v_pad + W, 128), jnp.float32).at[safe].add(
-            msg128, indices_are_sorted=True)[:v_pad]
+            msg128.astype(jnp.float32), indices_are_sorted=True)[:v_pad]
 
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -304,7 +312,18 @@ def segment_sum_windowed_arrays(messages, recv_col, blk, win, first,
     e, h = messages.shape
     e_pad = recv_col.shape[0]
     v_pad = -(-num_nodes // window) * window
-    if h == 128 and e == e_pad:
+    if messages.dtype == jnp.bfloat16 and mode == "hilo":
+        # bf16 stream: keep it bf16 (half the input bytes, ONE MXU pass
+        # instead of hilo's two, no f32 materialization buffer) — the
+        # kernel still accumulates f32, so numerics match XLA's
+        # f32-accumulating scatter of the same bf16 rows exactly
+        mode = "bf16"
+        if h == 128 and e == e_pad:
+            msg128 = messages
+        else:
+            msg128 = jnp.zeros((e_pad, 128), jnp.bfloat16)
+            msg128 = msg128.at[:e, :h].set(messages)
+    elif h == 128 and e == e_pad:
         msg128 = messages.astype(jnp.float32)
     else:
         msg128 = jnp.zeros((e_pad, 128), jnp.float32)
@@ -326,6 +345,8 @@ def _v5_bwd(v_pad, T, W, mode, recv_col, g):
     g_ext = jnp.concatenate(
         [g, jnp.zeros((W, g.shape[1]), g.dtype)])     # dump window rows
     grad = g_ext[recv_col[:, 0]]
+    if mode == "bf16":   # primal stream is bf16; cotangent must match
+        grad = grad.astype(jnp.bfloat16)
     return grad, None, None, None, None
 
 

@@ -130,6 +130,51 @@ def _take_rows_perm_bwd(n_rows, out_dtype, res, g):
 _take_rows_perm_p.defvjp(_take_rows_perm_fwd, _take_rows_perm_bwd)
 
 
+def _take_rows_win(table, idx, sk_recv, sk_blk, sk_win, sk_first):
+    """_take_rows whose cotangent scatter runs through the windowed
+    Pallas kernel (ops/segment_kernel.py) — the receiver-gather cotangent
+    IS a segment-sum over the receiver-sorted stream, so the forward
+    aggregation's pass plan applies verbatim.
+
+    The table stays at its natural width and the cotangent enters the
+    kernel in ITS OWN dtype (mode="bf16" under amp: one MXU pass, f32
+    accumulate — numerically identical to XLA's f32-accumulating scatter
+    of the same bf16 rows). The earlier f32-materializing variant lost
+    10-19 ms/step to VMEM eviction of the gather tables (ARCHITECTURE
+    §8.3 post-mortem); this one's only new buffer is a bf16 [E, 128]
+    lane-pad, SMALLER than the f32 [E, 2H+1] convert it replaces.
+    Single-device path only (the sharded executions keep _take_rows:
+    their plans cover owned/sliced row ranges, not the gather table)."""
+    return _take_rows_win_p(table, idx, sk_recv, sk_blk, sk_win, sk_first,
+                            table.shape[0], jnp.dtype(table.dtype).name)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _take_rows_win_p(table, idx, sk_recv, sk_blk, sk_win, sk_first,
+                     n_rows, out_dtype):
+    return table[idx]
+
+
+def _take_rows_win_fwd(table, idx, sk_recv, sk_blk, sk_win, sk_first,
+                       n_rows, out_dtype):
+    return table[idx], (idx, sk_recv, sk_blk, sk_win, sk_first)
+
+
+def _take_rows_win_bwd(n_rows, out_dtype, res, g):
+    idx, sk_recv, sk_blk, sk_win, sk_first = res
+    from ..ops.segment_kernel import segment_sum_windowed_arrays
+
+    out = segment_sum_windowed_arrays(
+        g, sk_recv, sk_blk, sk_win, sk_first,
+        num_nodes=n_rows, out_width=g.shape[-1])
+    zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    return (out.astype(out_dtype), zero(idx), zero(sk_recv), zero(sk_blk),
+            zero(sk_win), zero(sk_first))
+
+
+_take_rows_win_p.defvjp(_take_rows_win_fwd, _take_rows_win_bwd)
+
+
 def _onehot_rows(table, idx, clip: bool = False):
     """Tiny-table row lookup as one_hot(idx) @ table.
 
@@ -331,8 +376,21 @@ class DualGraphConv(nn.Module):
         else:
             at_send = _take_rows(cols, senders)
         at_send = jax.lax.optimization_barrier(at_send)
-        at_recv = jax.lax.optimization_barrier(
-            _take_rows(cols, receivers, sorted_idx=self.sorted_edges))
+        # receiver cotangent backend: the windowed kernel in its bf16
+        # single-pass mode when amp'd and single-device (its only new
+        # buffer is a bf16 [E, 128] lane-pad — strictly smaller than the
+        # f32 [E, 2H+1] convert the sorted scatter needs, so the VMEM
+        # eviction that killed the f32 variant cannot trigger; §8.3
+        # post-mortem). f32 and sharded paths keep the sorted scatter.
+        if (self.ep_axis is None and cols.dtype == jnp.bfloat16
+                and _use_windowed(self, sub, 128)):
+            at_recv = _take_rows_win(cols, receivers, sub["sk_recv"],
+                                     sub["sk_blk"], sub["sk_win"],
+                                     sub["sk_first"])
+        else:
+            at_recv = _take_rows(cols, receivers,
+                                 sorted_idx=self.sorted_edges)
+        at_recv = jax.lax.optimization_barrier(at_recv)
         edge_msg = jnp.where(
             rev,
             at_send[:, h: 2 * h] - at_recv[:, :h],

@@ -44,6 +44,35 @@ def test_kernel_matches_oracle_interpret(rng, hub, mode):
     np.testing.assert_allclose(out, ref, atol=tol, rtol=tol)
 
 
+@pytest.mark.parametrize("hub", [False, True])
+def test_kernel_bf16_mode_interpret(rng, hub):
+    """bf16 single-pass input mode (segment_sum_windowed_arrays dispatches
+    to it for bf16 streams — the amp forward aggregation AND the
+    receiver-gather cotangent, unc.model._take_rows_win): one MXU pass,
+    f32 accumulate. Oracle = f32 accumulation of the SAME bf16-rounded
+    values (XLA's scatter semantics for a bf16 stream)."""
+    v, e = 300, 700
+    recv, msg, _ = make_case(rng, v, e, hub)
+    msg_bf16 = jnp.asarray(msg).astype(jnp.bfloat16)
+    ref = np.zeros((v, 8), np.float32)
+    np.add.at(ref, recv, np.asarray(msg_bf16, np.float32))
+    plan = sk.build_pass_plan(recv, v, e_env=e, v_env=v,
+                              tile_e=64, window=128)
+    arrs = {k: jnp.asarray(plan[k]) for k in ("blk", "win", "first")}
+    sk.INTERPRET = True
+    try:
+        out = np.asarray(sk.segment_sum_windowed_arrays(
+            msg_bf16, jnp.asarray(plan["recv_col"]), arrs["blk"],
+            arrs["win"], arrs["first"], num_nodes=v,
+            tile_e=64, window=128), np.float32)
+    finally:
+        sk.INTERPRET = False
+    # output is rounded back to the stream dtype (bf16) — compare there
+    np.testing.assert_allclose(
+        out, np.asarray(jnp.asarray(ref).astype(jnp.bfloat16), np.float32),
+        atol=2e-2, rtol=2e-2)
+
+
 def test_fallback_matches_oracle(rng):
     v, e = 257, 900
     recv, msg, ref = make_case(rng, v, e)
