@@ -132,6 +132,12 @@ def add_train_config(parser):
     # activations in VMEM — large-batch HBM-spill lever, ARCHITECTURE.md
     # §8.5). Batch size must be divisible by it.
     g.add_argument("--train_microbatch_chunks", type=int, default=1)
+    # TPU-first extension (SURVEY §2.4 DP row; the reference is strictly
+    # single-device): shard each pair batch over N devices on a 'dp' mesh
+    # axis — params replicated, gradient psum inserted by GSPMD.
+    # train_batch_size should be divisible by it (the ragged curriculum
+    # tail batch falls back to replicated compute).
+    g.add_argument("--dp_devices", type=int, default=1)
     g.add_argument("--lr", type=float, default=1e-3)
     g.add_argument("--weight_decay", type=float, default=1e-5)
     g.add_argument("--max_grad_norm", type=float, default=8.0)

@@ -201,12 +201,22 @@ def main(argv=None):
                 " min_percent %g" % (
                     config["num_warmup_steps"], config["num_schedule_steps"],
                     config["num_cycles"], config["min_percent"]))
+    # data parallelism over the pair batch (--dp_devices N): batch leaves
+    # sharded on a 'dp' mesh axis, state replicated, grad psum by GSPMD
+    mesh = None
+    if config.get("dp_devices", 1) > 1:
+        from ..parallel.dp import make_dp_mesh
+        from ..train.scm_driver import dp_replicate_state
+        mesh = make_dp_mesh(config["dp_devices"])
+        state = dp_replicate_state(mesh, state)
+        logger.info(f"data parallel: {config['dp_devices']} devices on 'dp'")
     train_step = make_train_step(model, tx, config["bp_loss"],
                                  config["match_weights"],
                                  eval_metric=config["eval_metric"],
                                  amp=config.get("amp", False),
                                  accum_chunks=config.get(
-                                     "train_microbatch_chunks", 1))
+                                     "train_microbatch_chunks", 1),
+                                 mesh=mesh)
     eval_step = make_eval_step(model)
 
     sizes = {k: v.sizes() for k, v in datasets.items()}

