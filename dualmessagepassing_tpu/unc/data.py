@@ -363,7 +363,8 @@ def subgraph_degrees(sub: Dict[str, np.ndarray]) -> Tuple[np.ndarray, np.ndarray
 def pad_subgraph(sub: Dict[str, np.ndarray], samples: np.ndarray,
                  labels: np.ndarray, v_max: int, e_max: int, s_max: int,
                  edge_norm: Optional[np.ndarray] = None,
-                 send_keys: bool = True) -> Dict[str, np.ndarray]:
+                 send_keys: bool = True,
+                 pair_keys: bool = False) -> Dict[str, np.ndarray]:
     """Pad a sampled subgraph + DistMult samples to static shapes.
 
     samples are (src, rel, dst) with subgraph-local node ids.  Overflow of
@@ -427,4 +428,13 @@ def pad_subgraph(sub: Dict[str, np.ndarray], samples: np.ndarray,
         send_order = np.argsort(out["senders"], kind="stable")
         out["send_order"] = send_order
         out["senders_sorted"] = out["senders"][send_order]
+    if pair_keys:
+        # fused-endpoint-gather keys (unc.model DualGraphConv): one sort
+        # permutation over the concatenated [2E] sender+receiver stream —
+        # its presence switches the layer to ONE gather / ONE sorted
+        # cotangent scatter per layer instead of one per endpoint
+        pair = np.concatenate([out["senders"], out["receivers"]])
+        pair_order = np.argsort(pair, kind="stable")
+        out["pair_order"] = pair_order
+        out["pair_sorted"] = pair[pair_order]
     return out

@@ -367,30 +367,45 @@ class DualGraphConv(nn.Module):
                                   table.dtype)], axis=0)
         cols = jnp.concatenate([table @ w_src, table @ w_dst, d_col],
                                axis=1)
-        if "send_order" in sub and self.ep_axis is None:
-            # host-precomputed sender sort (pad_subgraph): sorted fast
-            # path on the sender-side cotangent scatter; sharded subs
-            # carry no sort keys (the indices would be global)
-            at_send = _take_rows_perm(cols, senders, sub["send_order"],
-                                      sub["senders_sorted"])
+        if "pair_order" in sub and self.ep_axis is None:
+            # fused endpoint gather (round-4 experiment, VERDICT r3 item
+            # 5a): ONE gather over the concatenated [2E] sender+receiver
+            # stream — the backward pays ONE sorted cotangent scatter per
+            # layer instead of a sender scatter + a receiver scatter.
+            # Opted in by the pair_order/pair_sorted keys
+            # (pad_subgraph(pair_keys=True) / BENCH_UNC_ENDPOINTS=fused).
+            n_e = senders.shape[0]
+            idx2 = jnp.concatenate([senders, receivers])
+            rows = _take_rows_perm(cols, idx2, sub["pair_order"],
+                                   sub["pair_sorted"])
+            at_send = jax.lax.optimization_barrier(rows[:n_e])
+            at_recv = jax.lax.optimization_barrier(rows[n_e:])
         else:
-            at_send = _take_rows(cols, senders)
-        at_send = jax.lax.optimization_barrier(at_send)
-        # receiver cotangent backend: the windowed kernel in its bf16
-        # single-pass mode when amp'd and single-device (its only new
-        # buffer is a bf16 [E, 128] lane-pad — strictly smaller than the
-        # f32 [E, 2H+1] convert the sorted scatter needs, so the VMEM
-        # eviction that killed the f32 variant cannot trigger; §8.3
-        # post-mortem). f32 and sharded paths keep the sorted scatter.
-        if (self.ep_axis is None and cols.dtype == jnp.bfloat16
-                and _use_windowed(self, sub, 128)):
-            at_recv = _take_rows_win(cols, receivers, sub["sk_recv"],
-                                     sub["sk_blk"], sub["sk_win"],
-                                     sub["sk_first"])
-        else:
-            at_recv = _take_rows(cols, receivers,
-                                 sorted_idx=self.sorted_edges)
-        at_recv = jax.lax.optimization_barrier(at_recv)
+            if "send_order" in sub and self.ep_axis is None:
+                # host-precomputed sender sort (pad_subgraph): sorted fast
+                # path on the sender-side cotangent scatter; sharded subs
+                # carry no sort keys (the indices would be global)
+                at_send = _take_rows_perm(cols, senders, sub["send_order"],
+                                          sub["senders_sorted"])
+            else:
+                at_send = _take_rows(cols, senders)
+            at_send = jax.lax.optimization_barrier(at_send)
+            # receiver cotangent backend: the windowed kernel in its bf16
+            # single-pass mode when amp'd and single-device (its only new
+            # buffer is a bf16 [E, 128] lane-pad — strictly smaller than
+            # the f32 [E, 2H+1] convert the sorted scatter needs, so the
+            # VMEM eviction that killed the f32 variant cannot trigger;
+            # §8.3 post-mortem). f32 and sharded paths keep the sorted
+            # scatter.
+            if (self.ep_axis is None and cols.dtype == jnp.bfloat16
+                    and _use_windowed(self, sub, 128)):
+                at_recv = _take_rows_win(cols, receivers, sub["sk_recv"],
+                                         sub["sk_blk"], sub["sk_win"],
+                                         sub["sk_first"])
+            else:
+                at_recv = _take_rows(cols, receivers,
+                                     sorted_idx=self.sorted_edges)
+            at_recv = jax.lax.optimization_barrier(at_recv)
         edge_msg = jnp.where(
             rev,
             at_send[:, h: 2 * h] - at_recv[:, :h],

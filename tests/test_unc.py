@@ -439,3 +439,58 @@ def test_train_unc_checkpoint_resume(rng, tmp_path):
     assert e2[0] == e1[-1] + 1, (e1, e2)
     assert np.isfinite(embs2).all()
     assert cov2 > 0.9
+
+
+def test_fused_endpoint_gather_matches_split(rng):
+    """pair_order/pair_sorted keys switch DualGraphConv to ONE gather
+    over the concatenated [2E] endpoint stream; forward AND grads must
+    match the split (send_order + receiver) path exactly."""
+    from dualmessagepassing_tpu.unc.data import compute_edgenorm
+
+    t = make_triplets(rng, n=20, e=60, r=3)
+    g = WholeGraph(20, 3, t)
+    edges = t[:16]
+    neg = negative_sampling(edges, 20, 2, rng)
+    seeds = np.unique(np.concatenate(
+        [edges[:, 0], edges[:, 2], neg[:, 0], neg[:, 2]]))
+    sub = sample_subgraph_by_randomwalks(g, seeds, 2, 5, rng)
+    samples = np.concatenate([edges, neg]).copy()
+    samples[:, 0] = convert_subgraph_nids(samples[:, 0], sub["nid"])
+    samples[:, 2] = convert_subgraph_nids(samples[:, 2], sub["nid"])
+    labels = np.zeros(len(samples), np.float32)
+    labels[:16] = 1.0
+    split = pad_subgraph(sub, samples, labels, 24, 24 * 5, 64,
+                         edge_norm=compute_edgenorm(sub))
+    fused = pad_subgraph(sub, samples, labels, 24, 24 * 5, 64,
+                         edge_norm=compute_edgenorm(sub), pair_keys=True)
+    assert "pair_order" in fused and "pair_order" not in split
+
+    model = UNCTrainModel(num_nodes=20, num_rels=3, h_dim=8, nlabel=0,
+                          num_hidden_layers=2, reg_param=0.01,
+                          backbone="DMPNN", sorted_edges=True)
+
+    def loss_and_grads(layout):
+        sub_dev = {k: jnp.asarray(v) for k, v in layout.items()}
+        variables = init_unc_variables(model, jax.random.PRNGKey(0),
+                                       sub_dev)
+
+        def loss_fn(p):
+            vs = {"params": p, **{k: v for k, v in variables.items()
+                                  if k != "params"}}
+            (out, _), _ = model.apply(vs, sub_dev, train=False,
+                                      mutable=["batch_stats"])
+            return model.apply(vs, out, sub_dev["edge_type"],
+                               sub_dev["edge_mask"], sub_dev["samples"],
+                               sub_dev["labels"], sub_dev["sample_mask"],
+                               sub_dev["node_mask"],
+                               method=UNCTrainModel.unsupervised_loss)
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        return float(loss), grads
+
+    l_split, g_split = loss_and_grads(split)
+    l_fused, g_fused = loss_and_grads(fused)
+    np.testing.assert_allclose(l_fused, l_split, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_split), jax.tree.leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
