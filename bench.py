@@ -277,7 +277,8 @@ def build_unc_step(v: int, e: int, h: int = 50, layers: int = 2,
     model = UNCTrainModel(
         num_nodes=v, num_rels=R, h_dim=h, nlabel=0,
         num_hidden_layers=layers, dropout=0.2, reg_param=0.01,
-        backbone="DMPNN", sorted_edges=True, scatter_backend=backend)
+        backbone="DMPNN", sorted_edges=True, scatter_backend=backend,
+        pad_cols=os.environ.get("BENCH_UNC_PADCOLS", "0") == "1")
     variables = init_unc_variables(model, jax.random.PRNGKey(0), sub)
     params = variables["params"]
     stats = variables.get("batch_stats", {})

@@ -298,6 +298,12 @@ class DualGraphConv(nn.Module):
     # sub dict to carry a pass plan (segment_kernel.attach_scatter_plan,
     # wired by the drivers via scatter_backend="windowed").
     scatter_backend: str = "xla"
+    # Pad the [V, 2H+1] endpoint column table to 128 lanes so its gathers
+    # and cotangent scatters run on aligned full-lane rows (round-4
+    # experiment, VERDICT r3 item 5b; the §8.3 Mosaic measurements put
+    # 64-lane streams at 131 vs 671 GB/s). Costs a 27% larger table at
+    # H=50 — VMEM-residency risk, measure before shipping.
+    pad_cols: bool = False
 
     @nn.compact
     def __call__(self, sub: Dict[str, jnp.ndarray], node_feat, edge_feat,
@@ -367,6 +373,9 @@ class DualGraphConv(nn.Module):
                                   table.dtype)], axis=0)
         cols = jnp.concatenate([table @ w_src, table @ w_dst, d_col],
                                axis=1)
+        if self.pad_cols and cols.shape[1] % 128:
+            cols = jnp.pad(
+                cols, ((0, 0), (0, 128 - cols.shape[1] % 128)))
         if "pair_order" in sub and self.ep_axis is None:
             # fused endpoint gather (round-4 experiment, VERDICT r3 item
             # 5a): ONE gather over the concatenated [2E] sender+receiver
@@ -444,7 +453,7 @@ class DualGraphConv(nn.Module):
         # log-degree at the receiver, already gathered in the column table
         # above (f32 log2, cast to the compute dtype before the gather —
         # identical values to casting after)
-        d = at_recv[:, 2 * h:].astype(edge_feat.dtype)
+        d = at_recv[:, 2 * h: 2 * h + 1].astype(edge_feat.dtype)
         add = 2.0 * (1.0 + d) * (edge_feat @ (w_src - w_dst))
         e_out = edge_feat @ w_eloop + edge_msg + add
         if self.use_bias:
@@ -475,6 +484,7 @@ class UNCDMPNN(nn.Module):
     ep_axis: Optional[str] = None
     node_sharding: str = "replicated"
     scatter_backend: str = "xla"
+    pad_cols: bool = False
 
     @nn.compact
     def __call__(self, sub, train: bool = False):
@@ -497,6 +507,7 @@ class UNCDMPNN(nn.Module):
                 dropout=self.dropout, sorted_edges=self.sorted_edges,
                 ep_axis=self.ep_axis, node_sharding=self.node_sharding,
                 scatter_backend=self.scatter_backend,
+                pad_cols=self.pad_cols,
                 name=f"layer_{i}",
             )(sub, h, z, edge_norm=norm, train=train)
 
@@ -693,6 +704,7 @@ class UNCCompGCN(nn.Module):
     ep_axis: Optional[str] = None
     node_sharding: str = "replicated"
     scatter_backend: str = "xla"
+    pad_cols: bool = False
 
     @nn.compact
     def __call__(self, sub, train: bool = False):
@@ -816,6 +828,10 @@ class UNCTrainModel(nn.Module):
     # globally sorted stream remain sorted, so the flag composes with
     # ep_axis.
     sorted_edges: bool = False
+    # 128-lane padding of the DualGraphConv endpoint column table (round-4
+    # experiment; DMPNN backbone only — the other backbones have no column
+    # table)
+    pad_cols: bool = False
     # Edge-partitioned execution (SURVEY §2.4): set to the shard_map axis
     # name when the model runs with edge arrays sharded across devices
     # (parallel/ep_unc.py). Node features stay replicated; every partial
@@ -858,7 +874,7 @@ class UNCTrainModel(nn.Module):
                   node_sharding=self.node_sharding,
                   scatter_backend=self.scatter_backend)
         if self.backbone == "DMPNN":
-            self.model = UNCDMPNN(**kw)
+            self.model = UNCDMPNN(pad_cols=self.pad_cols, **kw)
         elif self.backbone == "CompGCN":
             self.model = UNCCompGCN(**kw)
         elif self.backbone in ("RGCN", "RGIN"):

@@ -494,3 +494,54 @@ def test_fused_endpoint_gather_matches_split(rng):
     for a, b in zip(jax.tree.leaves(g_split), jax.tree.leaves(g_fused)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_pad_cols_matches_unpadded(rng):
+    """pad_cols=True (128-lane endpoint column table) is a pure layout
+    change: forward and grads must match the unpadded model exactly."""
+    from dualmessagepassing_tpu.unc.data import compute_edgenorm
+
+    t = make_triplets(rng, n=20, e=60, r=3)
+    g = WholeGraph(20, 3, t)
+    edges = t[:16]
+    neg = negative_sampling(edges, 20, 2, rng)
+    seeds = np.unique(np.concatenate(
+        [edges[:, 0], edges[:, 2], neg[:, 0], neg[:, 2]]))
+    sub = sample_subgraph_by_randomwalks(g, seeds, 2, 5, rng)
+    samples = np.concatenate([edges, neg]).copy()
+    samples[:, 0] = convert_subgraph_nids(samples[:, 0], sub["nid"])
+    samples[:, 2] = convert_subgraph_nids(samples[:, 2], sub["nid"])
+    labels = np.zeros(len(samples), np.float32)
+    labels[:16] = 1.0
+    padded = pad_subgraph(sub, samples, labels, 24, 24 * 5, 64,
+                          edge_norm=compute_edgenorm(sub))
+    sub_dev = {k: jnp.asarray(v) for k, v in padded.items()}
+
+    def loss_and_grads(pad_cols):
+        model = UNCTrainModel(num_nodes=20, num_rels=3, h_dim=8, nlabel=0,
+                              num_hidden_layers=2, reg_param=0.01,
+                              backbone="DMPNN", sorted_edges=True,
+                              pad_cols=pad_cols)
+        variables = init_unc_variables(model, jax.random.PRNGKey(0),
+                                       sub_dev)
+
+        def loss_fn(p):
+            vs = {"params": p, **{k: v for k, v in variables.items()
+                                  if k != "params"}}
+            (out, _), _ = model.apply(vs, sub_dev, train=False,
+                                      mutable=["batch_stats"])
+            return model.apply(vs, out, sub_dev["edge_type"],
+                               sub_dev["edge_mask"], sub_dev["samples"],
+                               sub_dev["labels"], sub_dev["sample_mask"],
+                               sub_dev["node_mask"],
+                               method=UNCTrainModel.unsupervised_loss)
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        return float(loss), grads
+
+    l0, g0 = loss_and_grads(False)
+    l1, g1 = loss_and_grads(True)
+    np.testing.assert_allclose(l1, l0, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
