@@ -270,7 +270,11 @@ def build_unc_step(v: int, e: int, h: int = 50, layers: int = 2,
         from dualmessagepassing_tpu.ops.segment_kernel import \
             attach_scatter_plan
 
-        sub_np = attach_scatter_plan(sub_np)
+        # BENCH_UNC_SENDWIN=1: windowed sender cotangent via the
+        # senders-sorted twin plan (§8.3 large-V recipe)
+        sub_np = attach_scatter_plan(
+            sub_np,
+            sender_plan=os.environ.get("BENCH_UNC_SENDWIN", "0") == "1")
     sub = {k: jnp.asarray(val) for k, val in sub_np.items()}
     amp = os.environ.get("BENCH_AMP", "1") == "1"
 

@@ -254,13 +254,21 @@ def _v5_impl(msg128, recv_col, blk, win, first, v_pad, T, W, mode):
 
 def attach_scatter_plan(padded: Dict[str, np.ndarray],
                         tile_e: int = DEFAULT_TILE_E,
-                        window: int = DEFAULT_WINDOW) -> Dict[str, np.ndarray]:
+                        window: int = DEFAULT_WINDOW,
+                        sender_plan: bool = False) -> Dict[str, np.ndarray]:
     """Add the windowed-kernel pass plan to a pad_subgraph dict (host side).
 
     The padded dict's edge arrays are already receiver-sorted with pad
     rows at the tail; the envelope (v_max, e_max) is taken from the array
     shapes, so every batch of a run shares one static plan shape. The
     model consumes the plan when UNCTrainModel(scatter_backend="windowed").
+
+    sender_plan=True additionally ships a SECOND plan (sk2_*) built from
+    the sorted SENDER stream, enabling the windowed sender-cotangent path
+    (unc.model._take_rows_win_perm — the §8.3 'senders-sorted twin plan'
+    for the large-V regime). Pad rows sort among the sender-0 rows and
+    carry exactly-zero cotangents, so the plan treats the full stream as
+    real.
     """
     v_max = len(padded["node_mask"])
     e_max = len(padded["receivers"])
@@ -273,6 +281,20 @@ def attach_scatter_plan(padded: Dict[str, np.ndarray],
     out["sk_win"] = plan["win"]
     out["sk_first"] = plan["first"]
     out["sk_recv"] = plan["recv_col"]
+    if sender_plan:
+        if "senders_sorted" in out:
+            send_sorted = np.asarray(out["senders_sorted"])
+        else:
+            so = np.argsort(np.asarray(out["senders"]), kind="stable")
+            out["send_order"] = so.astype(np.int64)
+            send_sorted = np.asarray(out["senders"])[so]
+            out["senders_sorted"] = send_sorted
+        plan2 = build_pass_plan(send_sorted, v_max, e_env=e_max,
+                                v_env=v_max, tile_e=tile_e, window=window)
+        out["sk2_blk"] = plan2["blk"]
+        out["sk2_win"] = plan2["win"]
+        out["sk2_first"] = plan2["first"]
+        out["sk2_recv"] = plan2["recv_col"]
     return out
 
 

@@ -175,6 +175,50 @@ def _take_rows_win_bwd(n_rows, out_dtype, res, g):
 _take_rows_win_p.defvjp(_take_rows_win_fwd, _take_rows_win_bwd)
 
 
+def _take_rows_win_perm(table, idx, order, sk2_recv, sk2_blk, sk2_win,
+                        sk2_first):
+    """_take_rows_win for UNSORTED index streams (senders): the backward
+    permutes the cotangent rows into idx-sorted order, then runs the
+    windowed kernel over a SECOND pass plan built from the sorted sender
+    stream (attach_scatter_plan(sender_plan=True) ships it as sk2_*).
+
+    This is the §8.3 post-mortem's 'senders-sorted twin plan' — measured
+    a dead end at V=65k (the materialized [E, 128] permute plus the
+    kernel's buffers evict the VMEM-resident gather tables) and predicted
+    to flip once the [V, 2H+1] tables fall out of VMEM anyway (V >= ~200k,
+    the north-star regime). Opt-in by plan presence; single-device only."""
+    return _take_rows_win_perm_p(table, idx, order, sk2_recv, sk2_blk,
+                                 sk2_win, sk2_first, table.shape[0],
+                                 jnp.dtype(table.dtype).name)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _take_rows_win_perm_p(table, idx, order, sk2_recv, sk2_blk, sk2_win,
+                          sk2_first, n_rows, out_dtype):
+    return table[idx]
+
+
+def _take_rows_win_perm_fwd(table, idx, order, sk2_recv, sk2_blk, sk2_win,
+                            sk2_first, n_rows, out_dtype):
+    return table[idx], (idx, order, sk2_recv, sk2_blk, sk2_win, sk2_first)
+
+
+def _take_rows_win_perm_bwd(n_rows, out_dtype, res, g):
+    idx, order, sk2_recv, sk2_blk, sk2_win, sk2_first = res
+    from ..ops.segment_kernel import segment_sum_windowed_arrays
+
+    out = segment_sum_windowed_arrays(
+        g[order], sk2_recv, sk2_blk, sk2_win, sk2_first,
+        num_nodes=n_rows, out_width=g.shape[-1])
+    zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    return (out.astype(out_dtype), zero(idx), zero(order), zero(sk2_recv),
+            zero(sk2_blk), zero(sk2_win), zero(sk2_first))
+
+
+_take_rows_win_perm_p.defvjp(_take_rows_win_perm_fwd,
+                             _take_rows_win_perm_bwd)
+
+
 def _onehot_rows(table, idx, clip: bool = False):
     """Tiny-table row lookup as one_hot(idx) @ table.
 
@@ -390,7 +434,16 @@ class DualGraphConv(nn.Module):
             at_send = jax.lax.optimization_barrier(rows[:n_e])
             at_recv = jax.lax.optimization_barrier(rows[n_e:])
         else:
-            if "send_order" in sub and self.ep_axis is None:
+            if ("sk2_blk" in sub and self.ep_axis is None
+                    and cols.dtype == jnp.bfloat16):
+                # windowed sender cotangent over the senders-sorted twin
+                # plan (attach_scatter_plan(sender_plan=True); §8.3
+                # large-V recipe — measure before shipping, the permute
+                # materialization loses at VMEM-resident table sizes)
+                at_send = _take_rows_win_perm(
+                    cols, senders, sub["send_order"], sub["sk2_recv"],
+                    sub["sk2_blk"], sub["sk2_win"], sub["sk2_first"])
+            elif "send_order" in sub and self.ep_axis is None:
                 # host-precomputed sender sort (pad_subgraph): sorted fast
                 # path on the sender-side cotangent scatter; sharded subs
                 # carry no sort keys (the indices would be global)

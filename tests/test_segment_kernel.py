@@ -205,3 +205,51 @@ def test_empty_stream():
         jnp.zeros((0, 4), jnp.float32), plan, 100))
     assert out.shape == (100, 4)
     assert (out == 0).all()
+
+
+def test_take_rows_win_perm_matches_sorted_scatter(rng):
+    """The windowed sender-cotangent VJP (_take_rows_win_perm over the
+    senders-sorted twin plan, attach_scatter_plan(sender_plan=True))
+    equals the sorted-scatter VJP (_take_rows_perm) — forward and
+    table-cotangent — on a bf16 table (kernel via interpreter)."""
+    from dualmessagepassing_tpu.unc.model import (_take_rows_perm,
+                                                  _take_rows_win_perm)
+
+    V, E, W = 40, 192, 128
+    senders = np.sort(rng.integers(0, V, E - 9)).astype(np.int64)
+    senders = np.concatenate([rng.permutation(senders),
+                              np.zeros(9, np.int64)])  # pad-ish rows
+    sub = {
+        "node_mask": np.ones(V, bool),
+        "edge_mask": np.arange(E) < E - 9,
+        "senders": senders,
+        "receivers": np.sort(rng.integers(0, V, E)).astype(np.int64),
+    }
+    planned = sk.attach_scatter_plan(sub, sender_plan=True)
+    table = jnp.asarray(rng.normal(size=(V, W)), jnp.bfloat16)
+    idx = jnp.asarray(senders)
+    order = jnp.asarray(planned["send_order"])
+    idx_sorted = jnp.asarray(planned["senders_sorted"])
+    cot = jnp.asarray(rng.normal(size=(E, W)), jnp.bfloat16)
+
+    def f_ref(t):
+        return jnp.sum(_take_rows_perm(t, idx, order, idx_sorted)
+                       * cot.astype(t.dtype))
+
+    def f_win(t):
+        return jnp.sum(_take_rows_win_perm(
+            t, idx, order,
+            jnp.asarray(planned["sk2_recv"]), jnp.asarray(planned["sk2_blk"]),
+            jnp.asarray(planned["sk2_win"]), jnp.asarray(planned["sk2_first"]))
+            * cot.astype(t.dtype))
+
+    v_ref, g_ref = jax.value_and_grad(f_ref)(table)
+    sk.INTERPRET = True
+    try:
+        v_win, g_win = jax.value_and_grad(f_win)(table)
+    finally:
+        sk.INTERPRET = False
+    np.testing.assert_allclose(float(v_ref), float(v_win), rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(g_win, np.float32),
+                               np.asarray(g_ref, np.float32),
+                               rtol=1e-2, atol=1e-2)

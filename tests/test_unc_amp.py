@@ -160,3 +160,54 @@ def test_train_unc_amp_windowed_ep_end_to_end(rng):
     assert embs.shape == (25, 8)
     assert coverage > 0.9
     assert np.isfinite(embs).all()
+
+
+def test_unc_amp_sender_windowed_matches_plain(rng):
+    """amp + windowed with the senders-sorted twin plan (sk2_*,
+    attach_scatter_plan(sender_plan=True) -> _take_rows_win_perm) produces
+    grads aligned with the plain windowed+amp path (kernel interpreted)."""
+    import dualmessagepassing_tpu.ops.segment_kernel as sk
+    from test_ep_unc import make_padded_sub
+
+    sub = make_padded_sub(rng)
+    base = sk.attach_scatter_plan(sub)
+    twin = sk.attach_scatter_plan(sub, sender_plan=True)
+    assert "sk2_blk" in twin and "sk2_blk" not in base
+
+    model = UNCTrainModel(num_nodes=40, num_rels=3, h_dim=16, nlabel=0,
+                          num_hidden_layers=2, dropout=0.0, reg_param=0.01,
+                          backbone="DMPNN", sorted_edges=True,
+                          scatter_backend="windowed")
+
+    def grads(layout, variables=[None]):
+        sub_dev = {k: jnp.asarray(v) for k, v in layout.items()}
+        if variables[0] is None:
+            variables[0] = init_unc_variables(model, jax.random.PRNGKey(0),
+                                              sub_dev)
+        vs = variables[0]
+        stats = vs.get("batch_stats", {})
+
+        def loss(p):
+            (out, _), _ = apply_unc_forward(model, p, stats, sub_dev,
+                                            jax.random.PRNGKey(1), amp=True)
+            return model.apply(
+                {"params": p}, out, sub_dev["edge_type"],
+                sub_dev["edge_mask"], sub_dev["samples"],
+                sub_dev["labels"], sub_dev["sample_mask"],
+                sub_dev["node_mask"],
+                method=UNCTrainModel.unsupervised_loss)
+
+        return jax.grad(loss)(vs["params"])
+
+    sk.INTERPRET = True
+    try:
+        g_base = grads(base)
+        g_twin = grads(twin)
+    finally:
+        sk.INTERPRET = False
+    for a, b in zip(jax.tree.leaves(g_base), jax.tree.leaves(g_twin)):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na > 1e-6 and nb > 1e-6:
+            assert a @ b / (na * nb) > 0.999
