@@ -78,7 +78,7 @@ def make_train_step(model, tx, bp_loss: str = "MSE",
     params and optimizer state; losses/regularizers in f32; the model's
     gate/table dtype pins follow utils.amp's trace-time compute dtype) —
     the flagship step is memory-feed-bound, so halving activation bytes
-    is the lever (ARCHITECTURE.md §11).
+    is the lever (ARCHITECTURE.md §8.4).
 
     accum_chunks=k > 1 computes the batch gradient as a lax.scan of k
     sequential microbatches (grads and losses averaged over equal-size
