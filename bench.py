@@ -370,6 +370,18 @@ def main_unc():
         "mfu": round(mfu, 4),
         "amp": os.environ.get("BENCH_AMP", "1") == "1",
         "backend": os.environ.get("BENCH_UNC_BACKEND", "windowed"),
+        # round-4 lever flags — recorded so A/B artifacts are
+        # self-describing. NOTE: sendwin only ENGAGES under bf16 amp
+        # (the model gates the sk2 path on the compute dtype) and when
+        # the backend ships a plan; sendwin_effective records that.
+        "endpoints": os.environ.get("BENCH_UNC_ENDPOINTS", "split"),
+        "pad_cols": os.environ.get("BENCH_UNC_PADCOLS", "0") == "1",
+        "sendwin": os.environ.get("BENCH_UNC_SENDWIN", "0") == "1",
+        "sendwin_effective": (
+            os.environ.get("BENCH_UNC_SENDWIN", "0") == "1"
+            and os.environ.get("BENCH_AMP", "1") == "1"
+            and os.environ.get("BENCH_UNC_BACKEND", "windowed") == "windowed"
+            and os.environ.get("BENCH_UNC_ENDPOINTS", "split") != "fused"),
     }
     if scale_ratio is not None:
         out["scale_ratio_4x"] = round(scale_ratio, 2)

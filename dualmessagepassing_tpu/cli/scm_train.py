@@ -207,6 +207,17 @@ def main(argv=None):
     if config.get("dp_devices", 1) > 1:
         from ..parallel.dp import make_dp_mesh
         from ..train.scm_driver import dp_replicate_state
+        n_avail = len(jax.devices())
+        if config["dp_devices"] > n_avail:
+            raise ValueError(
+                f"--dp_devices {config['dp_devices']} but only {n_avail} "
+                f"devices are visible")
+        if config["train_batch_size"] % config["dp_devices"]:
+            # misdivision silently degrades EVERY batch to the replicated
+            # fallback (N-times redundant compute) — refuse loudly
+            raise ValueError(
+                f"--train_batch_size {config['train_batch_size']} must be "
+                f"divisible by --dp_devices {config['dp_devices']}")
         mesh = make_dp_mesh(config["dp_devices"])
         state = dp_replicate_state(mesh, state)
         logger.info(f"data parallel: {config['dp_devices']} devices on 'dp'")

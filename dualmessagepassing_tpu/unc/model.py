@@ -757,7 +757,6 @@ class UNCCompGCN(nn.Module):
     ep_axis: Optional[str] = None
     node_sharding: str = "replicated"
     scatter_backend: str = "xla"
-    pad_cols: bool = False
 
     @nn.compact
     def __call__(self, sub, train: bool = False):

@@ -22,9 +22,14 @@ run() {  # run <name> <timeout_s> <env...> -- <cmd...>
     fi
 }
 
-# 0. smoke: is the chip actually usable?
-run smoke 600 BENCH_BSZ=128 BENCH_ITERS=5 -- python bench.py
-grep -q '"metric"' "$OUT/smoke.log" || { log "smoke failed — aborting"; exit 1; }
+# 0. smoke: is the chip actually usable? bench.py emits an error JSON
+# (with an "error" key) and exit 1 on a dead relay — check BOTH.
+if ! env BENCH_BSZ=128 BENCH_ITERS=5 timeout 600 python bench.py \
+        > "$OUT/smoke.log" 2>&1 || grep -q '"error"' "$OUT/smoke.log"; then
+    log "smoke failed — relay not usable, aborting: $(tail -1 "$OUT/smoke.log" | head -c 300)"
+    exit 1
+fi
+log "OK    smoke: $(tail -1 "$OUT/smoke.log" | head -c 300)"
 
 # 1. UNC step A/B at the pinned envelope (V=65k): default vs the three
 #    round-4 levers and the fused x padcols product (VERDICT item 5)

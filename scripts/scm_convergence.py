@@ -220,9 +220,18 @@ def main(argv=None):
         with open(args.check) as f:
             ref = json.load(f)["final"]
         bad = []
+        import math
+
         for k, v in ref.items():
             got = result["final"][k]
-            if k.endswith("AUC"):
+            if math.isnan(got) != math.isnan(v):
+                # NaN AUC means the split lost a count class (reduced
+                # --pairs reruns): abs(nan - v) compares False and would
+                # silently pass — flag the definedness change explicitly
+                bad.append(f"{k}: expected {v}, got {got} (NaN mismatch)")
+            elif math.isnan(got):
+                continue
+            elif k.endswith("AUC"):
                 # AUC lives in [0,1]: absolute tolerance
                 if abs(got - v) > 0.05:
                     bad.append(f"{k}: expected {v}, got {got}")

@@ -150,8 +150,8 @@ def run(scale: str = "full", seed: int = 0, lp_frac: float = 0.05,
         supervised: bool = True, log=print) -> dict:
     import jax
 
-    from dualmessagepassing_tpu.unc.driver import (
-        make_unc_embed_step, train_unc, train_unc_supervised)
+    from dualmessagepassing_tpu.unc.driver import (train_unc,
+                                                   train_unc_supervised)
 
     p = SCALES[scale]
     V, E, C, R = p["V"], p["E"], p["C"], p["R"]
