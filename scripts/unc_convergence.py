@@ -133,6 +133,12 @@ SCALES = {
                  n_layers=2, n_epochs=24, graph_batch_size=2048,
                  graph_split_size=0.9, sample_width=6, sample_depth=2,
                  sup_label_frac=0.5),
+    # PubMed-ish node count (VERDICT r3 item 2's scale ask), same
+    # structural regime — 40 communities of ~500
+    "pubmed": dict(V=20000, E=240000, C=40, R=4, noise=0.15, h_dim=50,
+                   n_layers=2, n_epochs=24, graph_batch_size=4096,
+                   graph_split_size=0.9, sample_width=6, sample_depth=2,
+                   sup_label_frac=0.5),
     # pinned-quality scale (~10-15 min CPU; gated tests/test_unc_quality.py)
     "ci": dict(V=1200, E=14400, C=4, R=3, noise=0.15, h_dim=24,
                n_layers=2, n_epochs=24, graph_batch_size=1024,
