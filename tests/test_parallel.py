@@ -235,3 +235,30 @@ def test_dp_composes_with_amp_and_chunks(rng):
     # every param leaf must still be fully replicated over the mesh
     for leaf in jax.tree.leaves(state.params):
         assert leaf.sharding.is_fully_replicated, leaf.sharding
+
+
+def test_dp_state_checkpoint_roundtrip(rng, tmp_path):
+    """orbax save/restore of a mesh-replicated TrainState: saving from a
+    DP run and resuming (replicated again) must preserve every leaf."""
+    from dualmessagepassing_tpu import build_model
+    from dualmessagepassing_tpu.train import (TrainState, dp_replicate_state,
+                                              make_optimizer)
+    from dualmessagepassing_tpu.train.checkpoint import (restore_state,
+                                                         save_state)
+    from tests.test_scm_model import make_pair_batch, small_config
+
+    pattern, graph = make_pair_batch(rng, bsz=8)
+    model = build_model(small_config())
+    params = model.init(jax.random.PRNGKey(0), pattern, graph)
+    tx = make_optimizer(lr=1e-3)
+    mesh = make_dp_mesh(8)
+    state = dp_replicate_state(mesh, TrainState.create(params, tx))
+
+    save_state(str(tmp_path / "ckpt"), state)
+    restored = restore_state(str(tmp_path / "ckpt"), like=state)
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    resumed = dp_replicate_state(mesh, restored)
+    for leaf in jax.tree.leaves(resumed.params):
+        assert leaf.sharding.is_fully_replicated
