@@ -65,6 +65,20 @@ def get_args(argv=None):
     p.add_argument("--amp", type=str, default="False",
                    help="bf16 backbone forward/backward with f32 master "
                         "params and f32 loss (utils/amp)")
+    # round-4 single-device cotangent levers (defaults off pending
+    # on-chip A/B — scripts/r4_tpu_campaign.sh)
+    p.add_argument("--endpoint_gather", type=str, default="split",
+                   choices=["split", "fused"],
+                   help="'fused': one gather over the concatenated [2E] "
+                        "endpoint stream (one cotangent scatter per "
+                        "layer instead of two); single-device only")
+    p.add_argument("--pad_cols", type=str, default="False",
+                   help="pad the endpoint column table to 128 lanes "
+                        "(aligned gather/scatter rows; DMPNN backbone)")
+    p.add_argument("--sender_windowed", type=str, default="False",
+                   help="sender cotangent through the windowed kernel "
+                        "(sk2 twin plan; needs --amp True and "
+                        "--scatter_backend windowed)")
     return p.parse_args(argv)
 
 
@@ -127,7 +141,11 @@ def main(argv=None):
             ep_partition=args.ep_partition,
             checkpoint_dir=args.checkpoint_dir or None,
             scatter_backend=args.scatter_backend,
-            amp=args.amp.lower() in ("true", "1"), log=log)
+            amp=args.amp.lower() in ("true", "1"),
+            endpoint_gather=args.endpoint_gather,
+            pad_cols=args.pad_cols.lower() in ("true", "1"),
+            sender_windowed=args.sender_windowed.lower() in ("true", "1"),
+            log=log)
 
     log("start output...")
     header = str(vars(args))

@@ -429,12 +429,19 @@ def pad_subgraph(sub: Dict[str, np.ndarray], samples: np.ndarray,
         out["send_order"] = send_order
         out["senders_sorted"] = out["senders"][send_order]
     if pair_keys:
-        # fused-endpoint-gather keys (unc.model DualGraphConv): one sort
-        # permutation over the concatenated [2E] sender+receiver stream —
-        # its presence switches the layer to ONE gather / ONE sorted
-        # cotangent scatter per layer instead of one per endpoint
-        pair = np.concatenate([out["senders"], out["receivers"]])
-        pair_order = np.argsort(pair, kind="stable")
-        out["pair_order"] = pair_order
-        out["pair_sorted"] = pair[pair_order]
+        out = add_pair_keys(out)
+    return out
+
+
+def add_pair_keys(padded: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Fused-endpoint-gather keys (unc.model DualGraphConv): one sort
+    permutation over the concatenated [2E] sender+receiver stream — its
+    presence switches the layer to ONE gather / ONE sorted cotangent
+    scatter per layer instead of one per endpoint."""
+    pair = np.concatenate([np.asarray(padded["senders"]),
+                           np.asarray(padded["receivers"])])
+    pair_order = np.argsort(pair, kind="stable")
+    out = dict(padded)
+    out["pair_order"] = pair_order
+    out["pair_sorted"] = pair[pair_order]
     return out

@@ -19,6 +19,7 @@ import optax
 
 from .data import (
     WholeGraph,
+    add_pair_keys,
     compute_edgenorm,
     convert_subgraph_nids,
     edge_dropout,
@@ -302,6 +303,16 @@ def train_unc(
     checkpoint_dir: Optional[str] = None,  # per-epoch full-state save/resume
     scatter_backend: str = "xla",
     amp: bool = False,
+    # round-4 single-device cotangent levers (defaults off pending on-chip
+    # measurement — scripts/r4_tpu_campaign.sh A/Bs them; all three have
+    # CPU exact-equivalence tests):
+    endpoint_gather: str = "split",  # "fused": ONE gather over the [2E]
+                                     # endpoint stream (one cotangent
+                                     # scatter per layer instead of two)
+    pad_cols: bool = False,          # 128-lane endpoint column table
+    sender_windowed: bool = False,   # sender cotangent through the
+                                     # windowed kernel (sk2 twin plan;
+                                     # needs amp + windowed backend)
     log: Callable[[str], None] = print,
 ):
     """Full UNC pipeline -> (node_embeddings [N, h], coverage fraction).
@@ -378,8 +389,23 @@ def train_unc(
         num_nodes=num_nodes, num_rels=num_rels, h_dim=h_dim,
         nlabel=0, num_hidden_layers=n_layers, dropout=dropout,
         reg_param=reg_param, node_attri=node_attri, backbone=backbone,
-        sorted_edges=True,
+        sorted_edges=True, pad_cols=pad_cols,
         scatter_backend="windowed" if windowed else "xla")
+    if ep_devices and (endpoint_gather == "fused" or sender_windowed):
+        raise ValueError(
+            "endpoint_gather='fused' / sender_windowed are single-device "
+            "cotangent levers (the sharded paths carry no global sort "
+            "keys); drop them or drop ep_devices")
+    if sender_windowed and not (amp and windowed):
+        # the model gates the sk2 path on bf16 + a windowed plan — a
+        # silent no-op here would invalidate any A/B built on this flag
+        raise ValueError(
+            "sender_windowed requires amp=True and "
+            "scatter_backend='windowed'")
+    if sender_windowed and endpoint_gather == "fused":
+        raise ValueError(
+            "endpoint_gather='fused' replaces BOTH endpoint gathers — "
+            "sender_windowed would be dead; pick one")
     model = UNCTrainModel(ep_axis="ep" if ep_mesh is not None else None,
                           node_sharding="owner" if halo else "replicated",
                           **mkw)
@@ -404,7 +430,10 @@ def train_unc(
                 return attach_ep_scatter_plans(padded, ep_devices)
             return padded
         if windowed:
-            return attach_scatter_plan(padded)
+            padded = attach_scatter_plan(padded,
+                                         sender_plan=sender_windowed)
+        if endpoint_gather == "fused":
+            padded = add_pair_keys(padded)
         return padded
 
     def to_device(prepared):

@@ -545,3 +545,40 @@ def test_pad_cols_matches_unpadded(rng):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_train_unc_fused_and_padcols_end_to_end(rng):
+    """train_unc(endpoint_gather='fused', pad_cols=True) runs end to end
+    and exports finite embeddings (the product-surface wiring of the
+    round-4 cotangent levers)."""
+    from dualmessagepassing_tpu.unc.driver import train_unc
+
+    t = make_triplets(rng, n=20, e=80, r=2)
+    embs, coverage = train_unc(
+        t, 20, 2, h_dim=8, n_layers=2, lr=1e-2, reg_param=0.01,
+        negative_rate=2, graph_batch_size=40, graph_split_size=0.9,
+        sampler="randomwalk", sample_depth=2, sample_width=5,
+        n_epochs=2, v_max=20, e_max=100, seed=0,
+        endpoint_gather="fused", pad_cols=True, log=lambda s: None)
+    assert embs.shape == (20, 8)
+    assert np.isfinite(embs).all()
+    assert coverage > 0.5
+
+
+def test_train_unc_lever_guards(rng):
+    """Invalid lever combinations fail loudly instead of silently
+    no-opping (sender_windowed needs amp+windowed; fused excludes
+    sharding and sender_windowed)."""
+    import pytest
+    from dualmessagepassing_tpu.unc.driver import train_unc
+
+    t = make_triplets(rng, n=20, e=80, r=2)
+    kw = dict(h_dim=8, n_layers=1, graph_batch_size=40, n_epochs=1,
+              v_max=20, e_max=100, log=lambda s: None)
+    with pytest.raises(ValueError, match="sender_windowed requires"):
+        train_unc(t, 20, 2, sender_windowed=True, **kw)
+    with pytest.raises(ValueError, match="single-device"):
+        train_unc(t, 20, 2, endpoint_gather="fused", ep_devices=2, **kw)
+    with pytest.raises(ValueError, match="pick one"):
+        train_unc(t, 20, 2, endpoint_gather="fused", sender_windowed=True,
+                  amp=True, scatter_backend="windowed", **kw)
