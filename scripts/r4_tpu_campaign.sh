@@ -45,6 +45,7 @@ run unc_largev_win     1800 BENCH_WORKLOAD=unc BENCH_UNC_V=262144 BENCH_UNC_E=20
 run unc_largev_xla     1800 BENCH_WORKLOAD=unc BENCH_UNC_V=262144 BENCH_UNC_E=2097152 BENCH_UNC_BACKEND=xla -- python bench.py
 run unc_largev_sendwin 1800 BENCH_WORKLOAD=unc BENCH_UNC_V=262144 BENCH_UNC_E=2097152 BENCH_UNC_SENDWIN=1 -- python bench.py
 run unc_largev_fused   1800 BENCH_WORKLOAD=unc BENCH_UNC_V=262144 BENCH_UNC_E=2097152 BENCH_UNC_ENDPOINTS=fused -- python bench.py
+run unc_largev_padcols 1800 BENCH_WORKLOAD=unc BENCH_UNC_V=262144 BENCH_UNC_E=2097152 BENCH_UNC_PADCOLS=1 -- python bench.py
 
 # 3. full-size default benches for the round artifacts
 run bench_scm   1200 BENCH_ITERS=20 -- python bench.py
