@@ -54,6 +54,6 @@ run bench_scm_infer 900 BENCH_WORKLOAD=scm_infer -- python bench.py
 
 # 4. convergence re-records on chip
 run scm_conv 5400 -- python scripts/scm_convergence.py --pairs 4096 --max-epochs 40 --bsz 128 --out "$OUT/SCM_CONVERGENCE_tpu.json"
-run unc_conv 5400 -- python scripts/unc_convergence.py --scale full --out "$OUT/UNC_CONVERGENCE_tpu.json"
+run unc_conv 7200 -- python scripts/unc_convergence.py --scale pubmed --out "$OUT/UNC_CONVERGENCE_tpu.json"
 
 log "campaign complete"
