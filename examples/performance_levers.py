@@ -79,6 +79,28 @@ def unc_all_levers():
           f"emb shape {embs.shape}")
 
 
+def unc_single_device_cotangent_levers():
+    """Round-4 single-device levers: fused 2E endpoint gather + 128-lane
+    column table (see scripts/r4_tpu_campaign.sh for the on-chip A/B)."""
+    from dualmessagepassing_tpu.unc.driver import train_unc
+
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 30, 150)
+    dst = (src + rng.integers(1, 30, 150)) % 30
+    rel = rng.integers(0, 2, 150)
+    t = np.stack([src, rel, dst], 1).astype(np.int64)
+    embs, coverage = train_unc(
+        t, 30, 2, h_dim=8, n_layers=1, graph_batch_size=50,
+        sample_depth=2, sample_width=5, n_epochs=2, v_max=30, e_max=150,
+        seed=0,
+        endpoint_gather="fused",   # ONE [2E] gather / cotangent scatter
+        pad_cols=True,             # 128-lane endpoint column table
+        log=lambda s: None)
+    print(f"UNC fused+pad_cols: coverage {coverage:.2f}, "
+          f"emb shape {embs.shape}")
+
+
 if __name__ == "__main__":
     scm_amp_microbatched()
     unc_all_levers()
+    unc_single_device_cotangent_levers()
