@@ -257,10 +257,9 @@ def build_unc_step(v: int, e: int, h: int = 50, layers: int = 2,
     # endpoint stream (one sorted cotangent scatter per layer instead of
     # two) — round-4 experiment, VERDICT r3 item 5a
     if os.environ.get("BENCH_UNC_ENDPOINTS") == "fused":
-        pair = np.concatenate([sub_np["senders"], sub_np["receivers"]])
-        po = np.argsort(pair, kind="stable")
-        sub_np["pair_order"] = po.astype(np.int64)
-        sub_np["pair_sorted"] = pair[po]
+        from dualmessagepassing_tpu.unc.data import add_pair_keys
+
+        sub_np = add_pair_keys(sub_np)
     # windowed is the measured-best production composition after the
     # round-3 gather-VJP restructure (52.5 ms vs 55.9 xla at this
     # envelope — the kernel's margin returned once the scatter share

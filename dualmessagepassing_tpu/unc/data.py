@@ -442,6 +442,8 @@ def add_pair_keys(padded: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
                            np.asarray(padded["receivers"])])
     pair_order = np.argsort(pair, kind="stable")
     out = dict(padded)
-    out["pair_order"] = pair_order
-    out["pair_sorted"] = pair[pair_order]
+    # int32: both values (< V) and positions (< 2E) fit, halving the
+    # per-batch host->device index transfer (TPU gathers take i32 natively)
+    out["pair_order"] = pair_order.astype(np.int32)
+    out["pair_sorted"] = pair[pair_order].astype(np.int32)
     return out
