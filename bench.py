@@ -209,9 +209,10 @@ def build_unc_step(v: int, e: int, h: int = 50, layers: int = 2,
     receiver-sorted Yelp-ish envelope — the scale workload's benchmark.
 
     The default composition is the measured best full-step variant
-    (ARCHITECTURE §8.3, device-trace verified this round): sorted edges +
-    XLA scatter + bf16 amp. BENCH_AMP=0 -> f32; BENCH_UNC_BACKEND=windowed
-    -> the Pallas windowed kernel (wins f32, ties amp at this envelope).
+    (ARCHITECTURE §8.3/§8.7, device-trace verified): sorted edges +
+    windowed kernel + bf16 amp + 128-lane endpoint column table
+    (BENCH_UNC_PADCOLS=0 opts out; +15% at V=65k, neutral at 262k).
+    BENCH_AMP=0 -> f32; BENCH_UNC_BACKEND=xla -> sorted XLA scatter.
     The reference has no throughput number anywhere (train.py:939-940 is
     per-sample eval latency only) — the anchor is BASELINE_BENCH_UNC.json,
     this harness's own f32/unsorted starting point."""
@@ -281,7 +282,7 @@ def build_unc_step(v: int, e: int, h: int = 50, layers: int = 2,
         num_nodes=v, num_rels=R, h_dim=h, nlabel=0,
         num_hidden_layers=layers, dropout=0.2, reg_param=0.01,
         backbone="DMPNN", sorted_edges=True, scatter_backend=backend,
-        pad_cols=os.environ.get("BENCH_UNC_PADCOLS", "0") == "1")
+        pad_cols=os.environ.get("BENCH_UNC_PADCOLS", "1") == "1")
     variables = init_unc_variables(model, jax.random.PRNGKey(0), sub)
     params = variables["params"]
     stats = variables.get("batch_stats", {})
@@ -374,7 +375,7 @@ def main_unc():
         # (the model gates the sk2 path on the compute dtype) and when
         # the backend ships a plan; sendwin_effective records that.
         "endpoints": os.environ.get("BENCH_UNC_ENDPOINTS", "split"),
-        "pad_cols": os.environ.get("BENCH_UNC_PADCOLS", "0") == "1",
+        "pad_cols": os.environ.get("BENCH_UNC_PADCOLS", "1") == "1",
         "sendwin": os.environ.get("BENCH_UNC_SENDWIN", "0") == "1",
         "sendwin_effective": (
             os.environ.get("BENCH_UNC_SENDWIN", "0") == "1"
@@ -479,7 +480,8 @@ def build_unc_infer(v: int, e: int):
     model = UNCTrainModel(
         num_nodes=v, num_rels=R, h_dim=h, nlabel=0,
         num_hidden_layers=2, dropout=0.0, reg_param=0.01,
-        backbone="DMPNN", sorted_edges=True, scatter_backend=backend)
+        backbone="DMPNN", sorted_edges=True, scatter_backend=backend,
+        pad_cols=os.environ.get("BENCH_UNC_PADCOLS", "1") == "1")
     variables = init_unc_variables(model, jax.random.PRNGKey(0), sub)
     params = variables["params"]
     stats = variables.get("batch_stats", {})

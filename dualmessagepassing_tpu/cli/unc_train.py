@@ -72,9 +72,11 @@ def get_args(argv=None):
                    help="'fused': one gather over the concatenated [2E] "
                         "endpoint stream (one cotangent scatter per "
                         "layer instead of two); single-device only")
-    p.add_argument("--pad_cols", type=str, default="False",
+    p.add_argument("--pad_cols", type=str, default="auto",
                    help="pad the endpoint column table to 128 lanes "
-                        "(aligned gather/scatter rows; DMPNN backbone)")
+                        "(aligned gather/scatter rows; DMPNN backbone). "
+                        "auto = on single-device, off sharded "
+                        "(ARCHITECTURE §8.7)")
     p.add_argument("--sender_windowed", type=str, default="False",
                    help="sender cotangent through the windowed kernel "
                         "(sk2 twin plan; needs --amp True and "
@@ -143,7 +145,8 @@ def main(argv=None):
             scatter_backend=args.scatter_backend,
             amp=args.amp.lower() in ("true", "1"),
             endpoint_gather=args.endpoint_gather,
-            pad_cols=args.pad_cols.lower() in ("true", "1"),
+            pad_cols=(None if args.pad_cols.lower() == "auto"
+                      else args.pad_cols.lower() in ("true", "1")),
             sender_windowed=args.sender_windowed.lower() in ("true", "1"),
             log=log)
 

@@ -303,13 +303,17 @@ def train_unc(
     checkpoint_dir: Optional[str] = None,  # per-epoch full-state save/resume
     scatter_backend: str = "xla",
     amp: bool = False,
-    # round-4 single-device cotangent levers (defaults off pending on-chip
-    # measurement — scripts/r4_tpu_campaign.sh A/Bs them; all three have
-    # CPU exact-equivalence tests):
+    # round-4 single-device cotangent levers (on-chip A/B: ARCHITECTURE
+    # §8.7 — pad_cols won 15% and ships as the single-device default;
+    # fused/sendwin stay opt-in flags; all three have CPU
+    # exact-equivalence tests):
     endpoint_gather: str = "split",  # "fused": ONE gather over the [2E]
                                      # endpoint stream (one cotangent
                                      # scatter per layer instead of two)
-    pad_cols: bool = False,          # 128-lane endpoint column table
+    pad_cols: Optional[bool] = None,  # 128-lane endpoint column table;
+                                      # None = auto (on single-device —
+                                      # +15% at V=65k, neutral at 262k;
+                                      # off sharded: unmeasured there)
     sender_windowed: bool = False,   # sender cotangent through the
                                      # windowed kernel (sk2 twin plan;
                                      # needs amp + windowed backend)
@@ -385,6 +389,8 @@ def train_unc(
     # (build_halo_sub(scatter_plan=True)) — plans ride the sub pytree
     # through shard_map as traced arrays.
     windowed = scatter_backend == "windowed"
+    if pad_cols is None:
+        pad_cols = not ep_devices
     mkw = dict(
         num_nodes=num_nodes, num_rels=num_rels, h_dim=h_dim,
         nlabel=0, num_hidden_layers=n_layers, dropout=dropout,

@@ -24,7 +24,7 @@ run() {  # run <name> <timeout_s> <env...> -- <cmd...>
 
 # 0. smoke: is the chip actually usable? bench.py emits an error JSON
 # (with an "error" key) and exit 1 on a dead relay — check BOTH.
-if ! env BENCH_BSZ=128 BENCH_ITERS=5 timeout 600 python bench.py \
+if ! env BENCH_BSZ=128 BENCH_ITERS=5 timeout 1200 python bench.py \
         > "$OUT/smoke.log" 2>&1 || grep -q '"error"' "$OUT/smoke.log"; then
     log "smoke failed — relay not usable, aborting: $(tail -1 "$OUT/smoke.log" | head -c 300)"
     exit 1

@@ -98,11 +98,27 @@ def split_lp(triplets: np.ndarray, V: int, frac: float, seed: int):
     return train, lines
 
 
-def _eval_embs(embs: np.ndarray, labels: np.ndarray, lp_lines, tag, log):
+def _eval_embs(embs: np.ndarray, labels: np.ndarray, lp_lines, tag, log,
+               nc_cap: int | None = None):
     from dualmessagepassing_tpu.unc.evaluate import (lp_evaluate,
                                                      nc_evaluate_arrays)
 
-    macro, micro = nc_evaluate_arrays(embs, np.arange(len(labels)), labels)
+    nc_ids = np.arange(len(labels))
+    if nc_cap is not None and len(nc_ids) > nc_cap:
+        # Bounded nc protocol for the CHANCE-LEVEL baselines only: the C
+        # binary search (Evaluate/utils.py:16-45) runs 2*classes-1 rounds
+        # of ovr LinearSVC fits, and on non-separable embeddings every
+        # binary fit maxes out its iteration budget — at V=20k/C=40 a
+        # single baseline eval exceeds 50 min. A stratified subsample
+        # changes a chance-level F1 only by noise; trained/supervised
+        # variants always run the full reference protocol.
+        per = max(nc_cap // int(labels.max() + 1), 2)
+        rng = np.random.default_rng(99)
+        keep = np.concatenate([
+            rng.permutation(np.flatnonzero(labels == c))[:per]
+            for c in range(int(labels.max() + 1))])
+        nc_ids = np.sort(keep)
+    macro, micro = nc_evaluate_arrays(embs, nc_ids, labels[nc_ids])
     with tempfile.NamedTemporaryFile("w", suffix=".dat", delete=False) as f:
         f.write("\n".join(lp_lines))
         lp_path = f.name
@@ -152,13 +168,9 @@ SCALES = {
 }
 
 
-def run(scale: str = "full", seed: int = 0, lp_frac: float = 0.05,
-        supervised: bool = True, log=print) -> dict:
-    import jax
-
-    from dualmessagepassing_tpu.unc.driver import (train_unc,
-                                                   train_unc_supervised)
-
+def _hin_and_split(scale: str, seed: int, lp_frac: float, log):
+    """Deterministic given (scale, seed, lp_frac) — both stages rebuild
+    the HIN instead of shipping it through the state file."""
     p = SCALES[scale]
     V, E, C, R = p["V"], p["E"], p["C"], p["R"]
     t0 = time.perf_counter()
@@ -166,7 +178,24 @@ def run(scale: str = "full", seed: int = 0, lp_frac: float = 0.05,
     train_trip, lp_lines = split_lp(triplets, V, lp_frac, seed + 1)
     log(f"HIN: V={V} E={len(triplets)} C={C} R={R} noise={p['noise']} "
         f"({time.perf_counter() - t0:.1f}s); lp holdout {len(lp_lines)} rows")
+    return p, train_trip, labels, lp_lines
 
+
+def run_train(scale: str, seed: int, lp_frac: float, supervised: bool,
+              state_path: str, log=print) -> None:
+    """Stage 1 — every device-touching step: train the three model
+    variants, export their embeddings, savez to state_path, EXIT. The
+    expensive sklearn protocols run in a separate CPU process
+    (run_eval) so no timeout/kill can ever land on a process holding a
+    live PJRT client mid-eval (ARCHITECTURE §9 failure mode 4), and a
+    dead eval can be retried without retraining."""
+    import jax
+
+    from dualmessagepassing_tpu.unc.driver import (train_unc,
+                                                   train_unc_supervised)
+
+    p, train_trip, labels, _lp = _hin_and_split(scale, seed, lp_frac, log)
+    V, C, R = p["V"], p["C"], p["R"]
     kw = dict(h_dim=p["h_dim"], n_layers=p["n_layers"], reg_param=0.01,
               graph_batch_size=p["graph_batch_size"],
               graph_split_size=p["graph_split_size"],
@@ -178,7 +207,6 @@ def run(scale: str = "full", seed: int = 0, lp_frac: float = 0.05,
     embs, coverage = train_unc(train_trip, V, R, lr=1e-2, **kw)
     train_s = time.perf_counter() - t0
     log(f"trained: coverage {coverage:.3f} in {train_s:.0f}s")
-    trained = _eval_embs(embs, labels, lp_lines, "trained", log)
 
     # untrained-model export: identical pipeline, vanishing learning rate
     # (the cosine LR schedule divides by lr, so exactly 0 is rejected)
@@ -186,82 +214,113 @@ def run(scale: str = "full", seed: int = 0, lp_frac: float = 0.05,
     # edges), so one no-op epoch suffices
     kw_unt = dict(kw, n_epochs=1)
     embs_u, _cov = train_unc(train_trip, V, R, lr=1e-12, **kw_unt)
-    untrained = _eval_embs(embs_u, labels, lp_lines, "untrained", log)
 
-    # random-embedding baseline
+    state = dict(embs=embs, embs_u=embs_u,
+                 coverage=np.float64(coverage),
+                 train_s=np.float64(train_s),
+                 platform=np.str_(jax.devices()[0].platform))
+    if supervised:
+        sup_out, sup_fc, tr_nodes, te_nodes = _train_supervised(
+            p, train_trip, labels, V, C, R, kw, seed, log)
+        state.update(sup_out=sup_out, sup_fc=sup_fc,
+                     tr_nodes=tr_nodes, te_nodes=te_nodes)
+    np.savez_compressed(state_path, **state)
+    log(f"train stage done -> {state_path}")
+
+
+def _train_supervised(p, train_trip, labels, V, C, R, kw, seed, log):
+    """Supervised (nlabel>0) variant, device part: label sup_label_frac
+    of nodes, train, export embeddings + node_fc argmax predictions.
+    MEASURED PROPERTY (round 4, shared with the reference design): on
+    structure-only tasks the supervised objective memorizes — free
+    per-node embeddings satisfy the label NLL on labeled nodes directly
+    (train acc 1.0) and nothing ties unlabeled embeddings to them
+    (held-out ~chance, even with relation-informative edges). The
+    unsupervised DistMult objective is what generalizes; the reference
+    pairs supervised mode with node attributes (run.sh attributed=True)
+    for the same reason. Returns (out, fc_pred, tr_nodes, te_nodes)."""
+    from dualmessagepassing_tpu.unc.driver import train_unc_supervised
+
+    rng = np.random.default_rng(seed + 3)
+    perm = rng.permutation(V)
+    n_tr = int(V * p["sup_label_frac"])
+    tr_nodes, te_nodes = perm[:n_tr], perm[n_tr:]
+    # incident edge indices per labeled node (TRAIN edges only)
+    inc = {int(n): [] for n in tr_nodes}
+    for i, (a, _r, b) in enumerate(train_trip):
+        if int(a) in inc:
+            inc[int(a)].append(i)
+        if int(b) in inc:
+            inc[int(b)].append(i)
+    tr_idx = {n: v for n, v in inc.items() if v}
+    tr_lab = {n: int(labels[n]) for n in tr_idx}
+    variables, model = train_unc_supervised(
+        train_trip, V, R, tr_idx, tr_lab, nlabel=C, multi=False,
+        lr=1e-2, label_batch_size=min(512, len(tr_idx)), **kw)
+    # export embeddings: embed every node once via covering subgraphs
+    from dualmessagepassing_tpu.unc.data import (
+        WholeGraph, compute_edgenorm, pad_subgraph,
+        sample_subgraph_by_randomwalks)
+    import jax as _jax
+    import jax.numpy as jnp
+
+    g = WholeGraph(V, R, train_trip)
+
+    @_jax.jit
+    def embed_pred(vs, sub):
+        (o, pred) = model.apply(vs, sub, train=False)
+        return o[0], pred
+
+    out = np.zeros((V, p["h_dim"]), np.float32)
+    fc_pred = np.zeros(V, np.int64)
+    got = np.zeros(V, bool)
+    e_max = min(V * p["sample_width"], g.num_edges)
+    srng = np.random.default_rng(seed + 11)
+    for s0 in range(0, V, p["graph_batch_size"]):
+        seeds = np.arange(s0, min(s0 + p["graph_batch_size"], V))
+        sub = sample_subgraph_by_randomwalks(
+            g, seeds, p["sample_depth"], p["sample_width"], srng)
+        padded = pad_subgraph(sub, np.zeros((0, 3), np.int64),
+                              np.zeros(0, np.float32), V, e_max, 1,
+                              edge_norm=compute_edgenorm(sub))
+        h, pr = embed_pred(variables,
+                           {k: jnp.asarray(v)
+                            for k, v in padded.items()})
+        nid = sub["nid"]
+        out[nid] = np.asarray(h)[: len(nid)]
+        fc_pred[nid] = np.asarray(pr)[: len(nid)].argmax(-1)
+        got[nid] = True
+    log(f"supervised export coverage: {got.mean():.3f}")
+    return out, fc_pred, tr_nodes, te_nodes
+
+
+def run_eval(scale: str, seed: int, lp_frac: float, state_path: str,
+             log=print) -> dict:
+    """Stage 2 — pure-CPU sklearn protocols over the stage-1 state."""
+    st = np.load(state_path, allow_pickle=False)
+    p, _train_trip, labels, lp_lines = _hin_and_split(
+        scale, seed, lp_frac, log)
+    V = p["V"]
+    embs, embs_u = st["embs"], st["embs_u"]
+
+    trained = _eval_embs(embs, labels, lp_lines, "trained", log)
+    untrained = _eval_embs(embs_u, labels, lp_lines, "untrained", log,
+                           nc_cap=4000)
+    # random-embedding baseline (no device needed — generated here)
     embs_r = np.random.default_rng(seed + 7).normal(
         size=embs.shape).astype(np.float32)
-    random_b = _eval_embs(embs_r, labels, lp_lines, "random", log)
+    random_b = _eval_embs(embs_r, labels, lp_lines, "random", log,
+                          nc_cap=4000)
 
     sup = None
-    if supervised:
-        # supervised (nlabel>0) variant: label sup_label_frac of nodes,
-        # record (a) node_fc train-fit accuracy — gates that the head +
-        # NLL + matched-label machinery optimize end to end — and (b)
-        # held-out Macro/Micro-F1 via the semi-supervised SVC protocol.
-        # MEASURED PROPERTY (round 4, shared with the reference design):
-        # on structure-only tasks the supervised objective memorizes —
-        # free per-node embeddings satisfy the label NLL on labeled nodes
-        # directly (train acc 1.0) and nothing ties unlabeled embeddings
-        # to them (held-out ~chance, even with relation-informative
-        # edges). The unsupervised DistMult objective is what
-        # generalizes; the reference pairs supervised mode with node
-        # attributes (run.sh attributed=True) for the same reason.
+    if "sup_out" in st.files:
         from dualmessagepassing_tpu.unc.evaluate import (
             single_label_binary_search_cv)
         from sklearn.metrics import accuracy_score, f1_score
         from sklearn.svm import LinearSVC
 
-        rng = np.random.default_rng(seed + 3)
-        perm = rng.permutation(V)
-        n_tr = int(V * p["sup_label_frac"])
-        tr_nodes, te_nodes = perm[:n_tr], perm[n_tr:]
-        # incident edge indices per labeled node (TRAIN edges only)
-        inc = {int(n): [] for n in tr_nodes}
-        for i, (a, _r, b) in enumerate(train_trip):
-            if int(a) in inc:
-                inc[int(a)].append(i)
-            if int(b) in inc:
-                inc[int(b)].append(i)
-        tr_idx = {n: v for n, v in inc.items() if v}
-        tr_lab = {n: int(labels[n]) for n in tr_idx}
-        variables, model = train_unc_supervised(
-            train_trip, V, R, tr_idx, tr_lab, nlabel=C, multi=False,
-            lr=1e-2, label_batch_size=min(512, len(tr_idx)), **kw)
-        # export embeddings: embed every node once via covering subgraphs
-        from dualmessagepassing_tpu.unc.data import (
-            WholeGraph, compute_edgenorm, pad_subgraph,
-            sample_subgraph_by_randomwalks)
-        import jax.numpy as jnp
-
-        g = WholeGraph(V, R, train_trip)
-        import jax as _jax
-
-        @_jax.jit
-        def embed_pred(vs, sub):
-            (o, pred) = model.apply(vs, sub, train=False)
-            return o[0], pred
-
-        out = np.zeros((V, p["h_dim"]), np.float32)
-        fc_pred = np.zeros(V, np.int64)
-        got = np.zeros(V, bool)
-        e_max = min(V * p["sample_width"], g.num_edges)
-        srng = np.random.default_rng(seed + 11)
-        for s0 in range(0, V, p["graph_batch_size"]):
-            seeds = np.arange(s0, min(s0 + p["graph_batch_size"], V))
-            sub = sample_subgraph_by_randomwalks(
-                g, seeds, p["sample_depth"], p["sample_width"], srng)
-            padded = pad_subgraph(sub, np.zeros((0, 3), np.int64),
-                                  np.zeros(0, np.float32), V, e_max, 1,
-                                  edge_norm=compute_edgenorm(sub))
-            h, pr = embed_pred(variables,
-                               {k: jnp.asarray(v)
-                                for k, v in padded.items()})
-            nid = sub["nid"]
-            out[nid] = np.asarray(h)[: len(nid)]
-            fc_pred[nid] = np.asarray(pr)[: len(nid)].argmax(-1)
-            got[nid] = True
-        log(f"supervised export coverage: {got.mean():.3f}")
+        out, fc_pred = st["sup_out"], st["sup_fc"]
+        tr_nodes, te_nodes = st["tr_nodes"], st["te_nodes"]
         c = single_label_binary_search_cv(out[tr_nodes], labels[tr_nodes])
         clf = LinearSVC(random_state=0, max_iter=3000, C=c)
         clf.fit(out[tr_nodes], labels[tr_nodes])
@@ -290,11 +349,11 @@ def run(scale: str = "full", seed: int = 0, lp_frac: float = 0.05,
         "metric": "unc_quality_macro_f1",
         "value": trained["macro_f1"],
         "unit": "macro_f1",
-        "platform": jax.devices()[0].platform,
+        "platform": str(st["platform"]),
         "config": {**{k: v for k, v in p.items()}, "scale": scale,
                    "seed": seed, "lp_frac": lp_frac},
-        "coverage": round(float(coverage), 6),
-        "train_seconds": round(train_s, 1),
+        "coverage": round(float(st["coverage"]), 6),
+        "train_seconds": round(float(st["train_s"]), 1),
         "trained": trained,
         "untrained": untrained,
         "random": random_b,
@@ -302,6 +361,19 @@ def run(scale: str = "full", seed: int = 0, lp_frac: float = 0.05,
         "gaps": gaps,
         "quality_ok": quality_ok,
     }
+
+
+def run(scale: str = "full", seed: int = 0, lp_frac: float = 0.05,
+        supervised: bool = True, log=print) -> dict:
+    """In-process train + eval (tests / CPU use). Device-attached runs
+    should prefer `--stage all`, which trains in a subprocess so the
+    PJRT-client-holding process exits before the long host evals."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        sp = os.path.join(td, "state.npz")
+        run_train(scale, seed, lp_frac, supervised, sp, log)
+        return run_eval(scale, seed, lp_frac, sp, log)
 
 
 def main(argv=None):
@@ -312,12 +384,40 @@ def main(argv=None):
     ap.add_argument("--no-supervised", action="store_true")
     ap.add_argument("--out", default=None)
     ap.add_argument("--check", default=None)
+    ap.add_argument("--stage", choices=["all", "train", "eval"],
+                    default="all",
+                    help="train = device work only (savez state, exit); "
+                         "eval = CPU protocols over a saved state; all = "
+                         "train in a SUBPROCESS, then eval here (the "
+                         "device-holding process exits before the long "
+                         "host evals start — ARCHITECTURE §9)")
+    ap.add_argument("--state", default=None,
+                    help="state npz path (default derived from scale/seed)")
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    result = run(args.scale, args.seed, supervised=not args.no_supervised)
+    state_path = args.state or f"/tmp/unc_conv_state_{args.scale}_{args.seed}.npz"
+    if args.stage == "train":
+        run_train(args.scale, args.seed, 0.05, not args.no_supervised,
+                  state_path)
+        return None
+    if args.stage == "all":
+        import subprocess
+
+        cmd = [sys.executable, os.path.abspath(__file__), "--stage",
+               "train", "--scale", args.scale, "--seed", str(args.seed),
+               "--state", state_path]
+        if args.cpu:
+            cmd.append("--cpu")
+        if args.no_supervised:
+            cmd.append("--no-supervised")
+        rc = subprocess.run(cmd).returncode
+        if rc != 0:
+            print(f"train stage failed (exit {rc})")
+            sys.exit(rc)
+    result = run_eval(args.scale, args.seed, 0.05, state_path)
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:
