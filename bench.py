@@ -125,6 +125,13 @@ def build_step(bsz: int):
     sm = os.environ.get("BENCH_SCATTER")
     if sm:
         cfg = cfg.replace(scatter_method=sm)
+    # BENCH_HID widens the model off the flagship hid=64 (NOT a headline
+    # config — an MFU-vs-width probe of the §8.6 feed-roofline claim:
+    # arithmetic intensity scales ~H/4 FLOP/byte, so MFU should rise
+    # near-linearly with H if the step is feed-bound, flat if it is not)
+    hid = int(os.environ.get("BENCH_HID", "64"))
+    if hid != 64:
+        cfg = cfg.replace(hid_dim=hid, pred_hid_dim=hid)
     model = build_model(cfg)
     pattern, graph = _make_batch(bsz, 8, 8, 64, 256, 16, 16)
     counts = jnp.asarray(
@@ -702,6 +709,9 @@ def main():
         "amp": os.environ.get("BENCH_AMP", "1") == "1",
         "chunks": int(os.environ.get("BENCH_CHUNKS", "1")),
     }
+    hid = int(os.environ.get("BENCH_HID", "64"))
+    if hid != 64:
+        out["hid"] = hid
     if scale_ratio is not None:
         out["scale_ratio_4x"] = round(scale_ratio, 2)
     if err:
