@@ -196,6 +196,13 @@ def build_step(bsz: int):
         params, opt_state, pattern, graph, counts).compile()
     ca = compiled.cost_analysis() or {}
     flops = float(ca.get("flops", float("nan")))
+    if chunks > 1:
+        # cost_analysis counts the lax.scan BODY once, not `chunks`
+        # times (measured: hid=128 reports 98.7e9 at chunks=2 vs
+        # 197.4e9 unchunked — exactly the body share). Scale the
+        # model/grad share back up; the once-per-step optimizer tail it
+        # also multiplies is <1% of the total at these shapes.
+        flops *= chunks
 
     def advance(state):
         p, o, _loss = compiled(state[0], state[1], pattern, graph, counts)
@@ -279,9 +286,13 @@ def build_unc_step(v: int, e: int, h: int = 50, layers: int = 2,
 
         # BENCH_UNC_SENDWIN=1: windowed sender cotangent via the
         # senders-sorted twin plan (§8.3 large-V recipe)
+        # BENCH_UNC_RECVBCAST=1: windowed FORWARD receiver gather (the
+        # Pallas row-broadcast kernel — §8.3 large-V lever; needs
+        # pad_cols for the 128-lane table)
         sub_np = attach_scatter_plan(
             sub_np,
-            sender_plan=os.environ.get("BENCH_UNC_SENDWIN", "0") == "1")
+            sender_plan=os.environ.get("BENCH_UNC_SENDWIN", "0") == "1",
+            bcast_plan=os.environ.get("BENCH_UNC_RECVBCAST", "1") == "1")
     sub = {k: jnp.asarray(val) for k, val in sub_np.items()}
     amp = os.environ.get("BENCH_AMP", "1") == "1"
 
@@ -389,6 +400,15 @@ def main_unc():
             and os.environ.get("BENCH_AMP", "1") == "1"
             and os.environ.get("BENCH_UNC_BACKEND", "windowed") == "windowed"
             and os.environ.get("BENCH_UNC_ENDPOINTS", "split") != "fused"),
+        # recv_bcast engages under amp+windowed+pad_cols with split
+        # endpoints (the model gates on the 128-lane table + sb_* plan)
+        "recv_bcast": os.environ.get("BENCH_UNC_RECVBCAST", "1") == "1",
+        "recv_bcast_effective": (
+            os.environ.get("BENCH_UNC_RECVBCAST", "1") == "1"
+            and os.environ.get("BENCH_AMP", "1") == "1"
+            and os.environ.get("BENCH_UNC_BACKEND", "windowed") == "windowed"
+            and os.environ.get("BENCH_UNC_PADCOLS", "1") == "1"
+            and os.environ.get("BENCH_UNC_ENDPOINTS", "split") != "fused"),
     }
     if scale_ratio is not None:
         out["scale_ratio_4x"] = round(scale_ratio, 2)
@@ -480,7 +500,13 @@ def build_unc_infer(v: int, e: int):
         from dualmessagepassing_tpu.ops.segment_kernel import \
             attach_scatter_plan
 
-        sub_np = attach_scatter_plan(sub_np)
+        # recv_bcast on here too: back-to-back A/B reads 9.53 vs 9.61 ms
+        # (+0.9% for the kernel). A cross-phase comparison first read it
+        # as a 5% loss — that was session drift (§9), the within-minutes
+        # A/B is the signal.
+        sub_np = attach_scatter_plan(
+            sub_np,
+            bcast_plan=os.environ.get("BENCH_UNC_RECVBCAST", "1") == "1")
     sub = {k: jnp.asarray(val) for k, val in sub_np.items()}
     amp = os.environ.get("BENCH_AMP", "1") == "1"
 

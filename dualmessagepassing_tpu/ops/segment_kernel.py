@@ -255,7 +255,8 @@ def _v5_impl(msg128, recv_col, blk, win, first, v_pad, T, W, mode):
 def attach_scatter_plan(padded: Dict[str, np.ndarray],
                         tile_e: int = DEFAULT_TILE_E,
                         window: int = DEFAULT_WINDOW,
-                        sender_plan: bool = False) -> Dict[str, np.ndarray]:
+                        sender_plan: bool = False,
+                        bcast_plan: bool = False) -> Dict[str, np.ndarray]:
     """Add the windowed-kernel pass plan to a pad_subgraph dict (host side).
 
     The padded dict's edge arrays are already receiver-sorted with pad
@@ -281,6 +282,14 @@ def attach_scatter_plan(padded: Dict[str, np.ndarray],
     out["sk_win"] = plan["win"]
     out["sk_first"] = plan["first"]
     out["sk_recv"] = plan["recv_col"]
+    if bcast_plan:
+        # twin plan for the forward windowed row-broadcast over the same
+        # stream (unc/model.recv_bcast — the §8.3 large-V gather lever)
+        bp = build_bcast_plan(recv_real, v_max, e_env=e_max, v_env=v_max,
+                              tile_e=tile_e, window=window)
+        out["sb_blk"] = bp["blk"]
+        out["sb_win"] = bp["win"]
+        out["sb_first"] = bp["first"]
     if sender_plan:
         if "senders_sorted" in out:
             send_sorted = np.asarray(out["senders_sorted"])
@@ -319,7 +328,8 @@ def segment_sum_windowed_arrays(messages, recv_col, blk, win, first,
                                 num_nodes: int,
                                 tile_e: int = DEFAULT_TILE_E,
                                 window: int = DEFAULT_WINDOW,
-                                mode: str = "hilo", out_width=None):
+                                mode: str = "hilo", out_width=None,
+                                sb_blk=None, sb_win=None, sb_first=None):
     """In-model entry point: plan arrays are TRACED (they ride the sub
     pytree through jit/shard_map); only the tile knobs and num_nodes are
     static. messages [E, H] receiver-sorted with zeroed masked rows.
@@ -350,10 +360,218 @@ def segment_sum_windowed_arrays(messages, recv_col, blk, win, first,
     else:
         msg128 = jnp.zeros((e_pad, 128), jnp.float32)
         msg128 = msg128.at[:e, :h].set(messages.astype(jnp.float32))
-    out = _v5_call(msg128, recv_col, blk, win, first, v_pad, tile_e,
-                   window, mode)
+    if sb_blk is not None and mode == "bf16":
+        # windowed backward gather on the bcast twin plan (bf16 only —
+        # the kernel's one-hot row copy is exact for bf16 tables)
+        out = _v5_call_b(msg128, recv_col, blk, win, first,
+                         sb_blk, sb_win, sb_first, v_pad, tile_e,
+                         window, mode)
+    else:
+        out = _v5_call(msg128, recv_col, blk, win, first, v_pad, tile_e,
+                       window, mode)
     w_out = out_width if out_width is not None else h
     return out[:num_nodes, :w_out].astype(messages.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Windowed row-BROADCAST — the gather inverse of the kernel above.
+#
+# The op: ``rows[e] = table[receivers[e]]`` for the same receiver-sorted
+# stream, i.e. the forward endpoint-table gather of the UNC layer
+# (unc/model.py receiver branch). Motivation (ARCHITECTURE §8.3 large-V
+# decomposition): once a [V, 128] endpoint table falls out of VMEM
+# (V >= ~200k at H=50), XLA's row gather runs at ~40 GB/s from HBM
+# (22-24 ms per gather at V=262k/E=2M) because it fetches one 256 B row
+# per element with no locality exploitation — even though the receiver
+# stream is SORTED, so consecutive edges hit the same or adjacent rows.
+# This kernel streams the table through VMEM one W-row window at a time
+# (each window DMA'd ~once — sequential HBM traffic) and emits each
+# T-edge output chunk as one-hot [T, W] @ window [W, 128] MXU passes —
+# the scatter kernel with input and output roles swapped:
+#   * out BlockSpec revisits the edge CHUNK across its (few) windows;
+#     first pass overwrites, later passes accumulate (each row receives
+#     its value in exactly one pass, zeros elsewhere — bf16 += 0 exact);
+#   * pad edge slots aim at the dump window (recv_col rows == v_pad);
+#     dump passes zero their one-hot (they also cover otherwise
+#     untouched all-pad chunks, which would hold garbage out-blocks);
+#   * plan arrays (sb_*) are built by build_bcast_plan over the SAME
+#     recv_col; the backward of a gather over this stream is the
+#     windowed SCATTER above, so a custom VJP pairs the two kernels on
+#     their twin plans (unc/model._take_rows_bcast).
+# ---------------------------------------------------------------------------
+
+BCAST_KEYS = ("sb_blk", "sb_win", "sb_first")
+
+
+def build_bcast_plan(receivers_sorted: np.ndarray, num_nodes: int,
+                     e_env: int, v_env: int,
+                     tile_e: int = DEFAULT_TILE_E,
+                     window: int = DEFAULT_WINDOW) -> Dict[str, np.ndarray]:
+    """Pass plan for the broadcast kernel (one pass per (chunk, window)).
+
+    Unlike build_pass_plan, EVERY edge chunk of the e_env envelope gets
+    at least one pass (pad slots map to the dump window), because the
+    output blocks are the chunks and an unvisited block would be
+    garbage. Windows nobody touches need no pass (the table is input
+    here). `first` marks the first pass of each CHUNK. Same P envelope:
+    passes <= chunks + window transitions <= e_pad/T + v_pad/W + 1.
+    """
+    T, W = tile_e, window
+    E_real = len(receivers_sorted)
+    if e_env < E_real:
+        raise ValueError(f"e_env={e_env} < stream length {E_real}")
+    if v_env < num_nodes:
+        raise ValueError(f"v_env={v_env} < num_nodes {num_nodes}")
+    v_pad = -(-v_env // W) * W
+    n_windows = v_pad // W
+    dump = n_windows
+    e_pad = -(-e_env // (8 * T)) * (8 * T)
+    P_env = e_pad // T + v_pad // W + 2
+
+    recv = np.asarray(receivers_sorted, np.int64)
+    if E_real and (np.diff(recv) < 0).any():
+        raise ValueError("receivers must be sorted (pad_subgraph order)")
+    recv_full = np.full(e_pad, v_pad, np.int64)
+    recv_full[:E_real] = recv
+    chunk_of = np.arange(e_pad) // T
+    win_of = recv_full // W                      # pads -> dump
+    key = chunk_of * (n_windows + 1) + win_of
+    uniq = np.unique(key)                        # sorted = stream order
+    blk = (uniq // (n_windows + 1)).astype(np.int32)
+    win = (uniq % (n_windows + 1)).astype(np.int32)
+    first = np.ones(len(blk), np.int32)
+    first[1:] = (blk[1:] != blk[:-1]).astype(np.int32)
+    P = len(blk)
+    if P > P_env:
+        raise ValueError(f"pass count {P} exceeds envelope {P_env}")
+    pad = P_env - P
+    last_blk = blk[-1] if len(blk) else np.int32(0)
+    # pad passes accumulate a zeroed dump one-hot into the last chunk
+    blk = np.concatenate([blk, np.full(pad, last_blk, np.int32)])
+    win = np.concatenate([win, np.full(pad, dump, np.int32)])
+    first = np.concatenate([first, np.zeros(pad, np.int32)])
+    return {"blk": blk, "win": win, "first": first,
+            "v_pad": v_pad, "e_pad": e_pad}
+
+
+def _bcast_kernel(blk_ref, win_ref, first_ref, tbl_ref, recv_ref, out_ref,
+                  *, T, W, dump):
+    import jax.experimental.pallas as pl
+
+    p = pl.program_id(0)
+    w = win_ref[p]
+    c = blk_ref[p]
+    sub = jax.lax.rem(c, 8)                    # my chunk inside the 8-chunk
+    rcol = recv_ref[pl.ds(sub * T, T), :]      # recv block   [T, 1] int32
+    local = rcol - w * W
+    onehot = jnp.logical_and(
+        local == jax.lax.broadcasted_iota(jnp.int32, (T, W), 1),
+        w != dump)                             # dump passes write zeros
+    # one-hot row-select on the MXU: each output row is exactly one bf16
+    # table row (single product, f32 accumulate exact, cast back bitwise)
+    part = jax.lax.dot_general(
+        onehot.astype(tbl_ref.dtype), tbl_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(first_ref[p] == 1)
+    def _():
+        out_ref[:] = part.astype(out_ref.dtype)
+
+    @pl.when(first_ref[p] == 0)
+    def _():
+        out_ref[:] += part.astype(out_ref.dtype)
+
+
+def windowed_row_broadcast(table: jnp.ndarray, recv_col: jnp.ndarray,
+                           sb_blk, sb_win, sb_first,
+                           tile_e: int = DEFAULT_TILE_E,
+                           window: int = DEFAULT_WINDOW) -> jnp.ndarray:
+    """table [Vt, 128] -> rows [e_pad, 128] == table[recv] in stream order.
+
+    `recv_col` is the scatter plan's [e_pad, 1] receiver column (pad
+    slots carry v_pad and come back ZERO rows, unlike an XLA gather of
+    whatever index the padded stream holds — callers mask pad edges
+    anyway); sb_* comes from build_bcast_plan over the same stream and
+    envelope (v_env must match Vt's envelope: v_pad = ceil(Vt/W)*W).
+    Forward-only — pair with the scatter kernel for the VJP
+    (unc/model._take_rows_bcast).
+    """
+    v, h = table.shape
+    if h != 128:
+        raise ValueError("broadcast table must be 128 lanes (pad_cols)")
+    T, W = tile_e, window
+    v_pad = -(-v // W) * W
+    dump = v_pad // W
+    if v_pad != v:
+        table = jnp.concatenate(
+            [table, jnp.zeros((v_pad - v, h), table.dtype)])
+    e_pad = recv_col.shape[0]
+
+    if jax.default_backend() != "tpu" and not INTERPRET:
+        r = recv_col[:, 0]
+        safe = jnp.minimum(r, v_pad - 1)
+        rows = table[safe]
+        return jnp.where((r < v_pad)[:, None], rows,
+                         jnp.zeros((), table.dtype))
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = functools.partial(_bcast_kernel, T=T, W=W, dump=dump)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(len(sb_blk),),
+        in_specs=[
+            # dump passes read (and ignore) the last real window
+            pl.BlockSpec(
+                (W, 128),
+                lambda p, blk, win, first: (
+                    jnp.minimum(win[p], dump - 1), 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * T, 1),
+                         lambda p, blk, win, first: (blk[p] // 8, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T, 128),
+                               lambda p, blk, win, first: (blk[p], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e_pad, 128), table.dtype),
+        interpret=INTERPRET,
+    )(sb_blk, sb_win, sb_first, table, recv_col)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _v5_call_b(msg128, recv_col, blk, win, first, sb_blk, sb_win, sb_first,
+               v_pad, T, W, mode):
+    """_v5_call whose BACKWARD gather also runs windowed: the cotangent
+    ``g[recv]`` row-broadcast goes through the Pallas kernel on the sb_*
+    twin plan instead of an XLA row gather. Motivation (§8.3 large-V
+    decomposition, round 4): at V >= ~200k the XLA form holds an
+    [v_pad + W, 128] table in VMEM (S(1)) — freeing that residency is
+    worth more than the gather itself. bf16 mode only (the cotangent is
+    cast before the broadcast, same values as gather-then-cast)."""
+    return _v5_impl(msg128, recv_col, blk, win, first, v_pad, T, W, mode)
+
+
+def _v5_b_fwd(msg128, recv_col, blk, win, first, sb_blk, sb_win, sb_first,
+              v_pad, T, W, mode):
+    return (_v5_impl(msg128, recv_col, blk, win, first, v_pad, T, W, mode),
+            (recv_col, sb_blk, sb_win, sb_first))
+
+
+def _v5_b_bwd(v_pad, T, W, mode, res, g):
+    recv_col, sb_blk, sb_win, sb_first = res
+    gt = g.astype(jnp.bfloat16) if mode == "bf16" else g
+    grad = windowed_row_broadcast(gt, recv_col, sb_blk, sb_win, sb_first,
+                                  tile_e=T, window=W)
+    return grad, None, None, None, None, None, None, None
+
+
+_v5_call_b.defvjp(_v5_b_fwd, _v5_b_bwd)
 
 
 def _v5_fwd(msg128, recv_col, blk, win, first, v_pad, T, W, mode):

@@ -317,6 +317,15 @@ def train_unc(
     sender_windowed: bool = False,   # sender cotangent through the
                                      # windowed kernel (sk2 twin plan;
                                      # needs amp + windowed backend)
+    recv_bcast: Optional[bool] = None,  # forward receiver gather (and the
+                                        # aggregation's backward gather)
+                                        # through the windowed row-
+                                        # broadcast kernel; None = auto
+                                        # (on when single-device windowed
+                                        # + amp + pad_cols — ~1% at both
+                                        # measured envelopes and frees
+                                        # the table VMEM residency,
+                                        # §8.3 round-4)
     log: Callable[[str], None] = print,
 ):
     """Full UNC pipeline -> (node_embeddings [N, h], coverage fraction).
@@ -412,6 +421,19 @@ def train_unc(
         raise ValueError(
             "endpoint_gather='fused' replaces BOTH endpoint gathers — "
             "sender_windowed would be dead; pick one")
+    if recv_bcast is None:
+        # auto: every condition the model's sb gate needs (bf16 compute,
+        # windowed plan, 128-lane table, split endpoints, single device)
+        recv_bcast = bool(amp and windowed and pad_cols
+                          and not ep_devices
+                          and endpoint_gather != "fused")
+    elif recv_bcast and not (amp and windowed and pad_cols
+                             and not ep_devices
+                             and endpoint_gather != "fused"):
+        # a silent no-op would invalidate any A/B built on this flag
+        raise ValueError(
+            "recv_bcast requires amp=True, scatter_backend='windowed', "
+            "pad_cols, split endpoints, and no ep_devices")
     model = UNCTrainModel(ep_axis="ep" if ep_mesh is not None else None,
                           node_sharding="owner" if halo else "replicated",
                           **mkw)
@@ -437,7 +459,8 @@ def train_unc(
             return padded
         if windowed:
             padded = attach_scatter_plan(padded,
-                                         sender_plan=sender_windowed)
+                                         sender_plan=sender_windowed,
+                                         bcast_plan=recv_bcast)
         if endpoint_gather == "fused":
             padded = add_pair_keys(padded)
         return padded

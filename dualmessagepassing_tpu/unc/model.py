@@ -219,6 +219,63 @@ _take_rows_win_perm_p.defvjp(_take_rows_win_perm_fwd,
                              _take_rows_win_perm_bwd)
 
 
+def _take_rows_bcast(table, idx, sk_recv, sk_blk, sk_win, sk_first,
+                     sb_blk, sb_win, sb_first):
+    """_take_rows_win whose FORWARD also runs on the windowed plan: the
+    Pallas row-broadcast kernel (ops/segment_kernel.py) streams the
+    table through VMEM one window at a time instead of XLA's per-row
+    HBM fetches. Motivation: at V >= ~200k the [V, 128] endpoint tables
+    fall out of VMEM and XLA's gather drops to ~40 GB/s (22-24 ms per
+    gather at V=262k/E=2M — ARCHITECTURE §8.3 large-V decomposition);
+    the kernel's table traffic is sequential. Backward is the windowed
+    scatter on the sk_* plan, exactly as _take_rows_win.
+
+    Requirements: 128-lane table (pad_cols), receiver-sorted idx whose
+    pad slots the sk_recv column maps to the dump window (pad rows come
+    back ZERO instead of table[idx_pad] — callers mask pad edges).
+    Single-device path only, opt-in by sb_* plan presence
+    (attach_scatter_plan(bcast_plan=True))."""
+    return _take_rows_bcast_p(table, idx, sk_recv, sk_blk, sk_win,
+                              sk_first, sb_blk, sb_win, sb_first,
+                              table.shape[0],
+                              jnp.dtype(table.dtype).name)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _take_rows_bcast_p(table, idx, sk_recv, sk_blk, sk_win, sk_first,
+                       sb_blk, sb_win, sb_first, n_rows, out_dtype):
+    from ..ops.segment_kernel import windowed_row_broadcast
+
+    return windowed_row_broadcast(
+        table, sk_recv, sb_blk, sb_win, sb_first)[: idx.shape[0]]
+
+
+def _take_rows_bcast_fwd(table, idx, sk_recv, sk_blk, sk_win, sk_first,
+                         sb_blk, sb_win, sb_first, n_rows, out_dtype):
+    out = _take_rows_bcast_p(table, idx, sk_recv, sk_blk, sk_win,
+                             sk_first, sb_blk, sb_win, sb_first, n_rows,
+                             out_dtype)
+    return out, (idx, sk_recv, sk_blk, sk_win, sk_first,
+                 sb_blk, sb_win, sb_first)
+
+
+def _take_rows_bcast_bwd(n_rows, out_dtype, res, g):
+    (idx, sk_recv, sk_blk, sk_win, sk_first,
+     sb_blk, sb_win, sb_first) = res
+    from ..ops.segment_kernel import segment_sum_windowed_arrays
+
+    out = segment_sum_windowed_arrays(
+        g, sk_recv, sk_blk, sk_win, sk_first,
+        num_nodes=n_rows, out_width=g.shape[-1])
+    zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    return (out.astype(out_dtype), zero(idx), zero(sk_recv), zero(sk_blk),
+            zero(sk_win), zero(sk_first), zero(sb_blk), zero(sb_win),
+            zero(sb_first))
+
+
+_take_rows_bcast_p.defvjp(_take_rows_bcast_fwd, _take_rows_bcast_bwd)
+
+
 def _onehot_rows(table, idx, clip: bool = False):
     """Tiny-table row lookup as one_hot(idx) @ table.
 
@@ -263,7 +320,12 @@ def _segment_sum_agg(layer, sub, msg, v, h, out_width=None):
         return segment_sum_windowed_arrays(
             msg, sub["sk_recv"], sub["sk_blk"], sub["sk_win"],
             sub["sk_first"], num_nodes=v,
-            out_width=out_width if out_width is not None else h)
+            out_width=out_width if out_width is not None else h,
+            # bcast twin plan (when attached): the aggregation's backward
+            # gather also runs windowed, freeing its VMEM-resident table
+            # for the forward endpoint gathers (§8.3 large-V lever)
+            sb_blk=sub.get("sb_blk"), sb_win=sub.get("sb_win"),
+            sb_first=sub.get("sb_first"))
     agg = _segment_sum_f32(msg, sub["receivers"], v, msg.shape[-1],
                            layer.sorted_edges)
     return agg[:, : out_width] if out_width is not None else agg
@@ -460,6 +522,17 @@ class DualGraphConv(nn.Module):
             # §8.3 post-mortem). f32 and sharded paths keep the sorted
             # scatter.
             if (self.ep_axis is None and cols.dtype == jnp.bfloat16
+                    and _use_windowed(self, sub, 128)
+                    and "sb_blk" in sub and cols.shape[1] == 128):
+                # windowed forward AND backward: the row-broadcast kernel
+                # streams the table through VMEM (the §8.3 large-V HBM
+                # gather lever; opt-in by bcast-plan presence —
+                # attach_scatter_plan(bcast_plan=True); needs pad_cols)
+                at_recv = _take_rows_bcast(
+                    cols, receivers, sub["sk_recv"], sub["sk_blk"],
+                    sub["sk_win"], sub["sk_first"], sub["sb_blk"],
+                    sub["sb_win"], sub["sb_first"])
+            elif (self.ep_axis is None and cols.dtype == jnp.bfloat16
                     and _use_windowed(self, sub, 128)):
                 at_recv = _take_rows_win(cols, receivers, sub["sk_recv"],
                                          sub["sk_blk"], sub["sk_win"],

@@ -253,3 +253,120 @@ def test_take_rows_win_perm_matches_sorted_scatter(rng):
     np.testing.assert_allclose(np.asarray(g_win, np.float32),
                                np.asarray(g_ref, np.float32),
                                rtol=1e-2, atol=1e-2)
+
+
+def test_bcast_plan_invariants(rng):
+    """build_bcast_plan: every edge chunk of the envelope gets exactly one
+    first pass (unvisited output blocks would be garbage), stream order is
+    chunk-major, and the pass count stays inside the shared envelope."""
+    v, e = 500, 1200
+    recv, _, _ = make_case(rng, v, e, hub=True)
+    T, W = 128, 128
+    plan = sk.build_bcast_plan(recv, v, e_env=2048, v_env=640,
+                               tile_e=T, window=W)
+    blk, win, first = plan["blk"], plan["win"], plan["first"]
+    v_pad, e_pad = plan["v_pad"], plan["e_pad"]
+    dump = v_pad // W
+    assert len(blk) == e_pad // T + v_pad // W + 2     # shared envelope
+    # every chunk (incl. all-pad tail chunks) is first-touched exactly once
+    firsts = blk[first.astype(bool)]
+    assert sorted(firsts.tolist()) == list(range(e_pad // T))
+    # chunk-major stream order
+    assert (np.diff(np.maximum.accumulate(blk)) >= 0).all()
+    # pad slots aim at the dump window
+    assert (win <= dump).all()
+
+
+def test_row_broadcast_matches_gather_interpret(rng):
+    """windowed_row_broadcast == table[recv] on real slots, ZERO on pad
+    slots (bf16 table, kernel via interpreter; partial chunks, hubs)."""
+    v, e, e_env, v_env = 300, 700, 1024, 384
+    recv, _, _ = make_case(rng, v, e, hub=True)
+    table = jnp.asarray(rng.normal(size=(v_env, 128)), jnp.bfloat16)
+    plan = sk.build_pass_plan(recv, v, e_env=e_env, v_env=v_env,
+                              tile_e=64, window=128)
+    bp = sk.build_bcast_plan(recv, v, e_env=e_env, v_env=v_env,
+                             tile_e=64, window=128)
+    sk.INTERPRET = True
+    try:
+        out = np.asarray(sk.windowed_row_broadcast(
+            table, jnp.asarray(plan["recv_col"]), jnp.asarray(bp["blk"]),
+            jnp.asarray(bp["win"]), jnp.asarray(bp["first"]),
+            tile_e=64, window=128).astype(jnp.float32))
+    finally:
+        sk.INTERPRET = False
+    ref = np.asarray(table, np.float32)[recv]
+    np.testing.assert_array_equal(out[:e], ref)        # bitwise row copy
+    assert (out[e:] == 0).all()                        # pad slots zero
+
+
+def test_row_broadcast_fallback_matches_gather(rng):
+    """The non-TPU fallback path (what CPU training exercises) has the
+    same semantics as the kernel: table rows on real slots, zeros on
+    pads."""
+    v, e, e_env, v_env = 200, 450, 512, 256
+    recv, _, _ = make_case(rng, v, e)
+    table = jnp.asarray(rng.normal(size=(v_env, 128)), jnp.bfloat16)
+    plan = sk.build_pass_plan(recv, v, e_env=e_env, v_env=v_env)
+    bp = sk.build_bcast_plan(recv, v, e_env=e_env, v_env=v_env)
+    out = np.asarray(sk.windowed_row_broadcast(
+        table, jnp.asarray(plan["recv_col"]), jnp.asarray(bp["blk"]),
+        jnp.asarray(bp["win"]), jnp.asarray(bp["first"])
+        ).astype(jnp.float32))
+    ref = np.asarray(table, np.float32)[recv]
+    np.testing.assert_array_equal(out[:e], ref)
+    assert (out[e:] == 0).all()
+
+
+def test_model_recv_bcast_matches_windowed(rng):
+    """UNCTrainModel under amp with the bcast plan attached (windowed
+    forward receiver gather) produces the same loss and gradients as the
+    windowed-backward-only path (_take_rows_win) — the two differ only
+    in HOW table[receivers] is materialized (kernel via interpreter).
+    Pad-edge rows differ by design (zeros vs table[pad_idx]); equality
+    of loss/grads pins that the model masks pad edges everywhere."""
+    from test_ep_unc import make_padded_sub
+    from dualmessagepassing_tpu.unc.model import (UNCTrainModel,
+                                                  init_unc_variables)
+    from dualmessagepassing_tpu.utils.amp import (cast_floats,
+                                                  compute_dtype_scope)
+
+    sub = make_padded_sub(rng)
+    planned = sk.attach_scatter_plan(sub)
+    planned_b = sk.attach_scatter_plan(sub, bcast_plan=True)
+    kw = dict(num_nodes=40, num_rels=3, h_dim=16, nlabel=0,
+              num_hidden_layers=2, dropout=0.0, reg_param=0.01,
+              backbone="DMPNN", sorted_edges=True,
+              scatter_backend="windowed", pad_cols=True)
+    model = UNCTrainModel(**kw)
+    sub0 = {k: jnp.asarray(v) for k, v in planned.items()}
+    sub1 = {k: jnp.asarray(v) for k, v in planned_b.items()}
+    variables = init_unc_variables(model, jax.random.PRNGKey(0), sub0)
+
+    def loss(s, p):
+        with compute_dtype_scope(jnp.bfloat16):
+            vs = {"params": cast_floats(p, jnp.bfloat16),
+                  **({k: v for k, v in variables.items()
+                      if k == "batch_stats"})}
+            (out, _), _m = model.apply(vs, s, train=True,
+                                       mutable=["batch_stats"],
+                                       rngs={"dropout":
+                                             jax.random.PRNGKey(1)})
+            l = model.apply(vs, out, s["edge_type"], s["edge_mask"],
+                            s["samples"], s["labels"], s["sample_mask"],
+                            s["node_mask"],
+                            method=UNCTrainModel.unsupervised_loss)
+        return l.astype(jnp.float32)
+
+    params = variables["params"]
+    sk.INTERPRET = True
+    try:
+        l0, g0 = jax.value_and_grad(lambda p: loss(sub0, p))(params)
+        l1, g1 = jax.value_and_grad(lambda p: loss(sub1, p))(params)
+    finally:
+        sk.INTERPRET = False
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-3, atol=1e-4)

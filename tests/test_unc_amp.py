@@ -211,3 +211,32 @@ def test_unc_amp_sender_windowed_matches_plain(rng):
         na, nb = np.linalg.norm(a), np.linalg.norm(b)
         if na > 1e-6 and nb > 1e-6:
             assert a @ b / (na * nb) > 0.999
+
+
+def test_train_unc_recv_bcast_default_end_to_end(rng):
+    """The round-4 single-device default composition — amp + windowed +
+    pad_cols + recv_bcast(auto) — runs the full driver pipeline (the
+    CPU fallback of the row-broadcast kernel exercises the same sb_*
+    plan plumbing the TPU kernel consumes), and an explicit
+    recv_bcast=True on an ineligible config raises instead of silently
+    no-oping."""
+    import pytest as _pytest
+
+    from dualmessagepassing_tpu.unc.driver import train_unc
+
+    src = rng.integers(0, 25, 120)
+    dst = (src + rng.integers(1, 25, 120)) % 25
+    rel = rng.integers(0, 2, 120)
+    t = np.stack([src, rel, dst], axis=1).astype(np.int64)
+    kw = dict(h_dim=8, n_layers=1, lr=1e-2, reg_param=0.01,
+              negative_rate=2, graph_batch_size=40, graph_split_size=0.9,
+              sampler="randomwalk", sample_depth=2, sample_width=5,
+              n_epochs=2, v_max=25, e_max=125, seed=0,
+              log=lambda s: None)
+    embs, coverage = train_unc(t, 25, 2, amp=True,
+                               scatter_backend="windowed", **kw)
+    assert embs.shape == (25, 8)
+    assert coverage > 0.9
+    assert np.isfinite(embs).all()
+    with _pytest.raises(ValueError, match="recv_bcast"):
+        train_unc(t, 25, 2, amp=False, recv_bcast=True, **kw)
