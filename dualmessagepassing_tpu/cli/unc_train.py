@@ -81,6 +81,12 @@ def get_args(argv=None):
                    help="sender cotangent through the windowed kernel "
                         "(sk2 twin plan; needs --amp True and "
                         "--scatter_backend windowed)")
+    p.add_argument("--recv_bcast", type=str, default="auto",
+                   help="forward receiver gather (and the aggregation's "
+                        "backward gather) through the windowed "
+                        "row-broadcast kernel. auto = on when "
+                        "single-device windowed + amp + pad_cols "
+                        "(ARCHITECTURE §8.3 round-4)")
     return p.parse_args(argv)
 
 
@@ -148,6 +154,8 @@ def main(argv=None):
             pad_cols=(None if args.pad_cols.lower() == "auto"
                       else args.pad_cols.lower() in ("true", "1")),
             sender_windowed=args.sender_windowed.lower() in ("true", "1"),
+            recv_bcast=(None if args.recv_bcast.lower() == "auto"
+                        else args.recv_bcast.lower() in ("true", "1")),
             log=log)
 
     log("start output...")
