@@ -100,7 +100,30 @@ def unc_single_device_cotangent_levers():
           f"emb shape {embs.shape}")
 
 
+def unc_shipped_default_composition():
+    """The measured-best single-device composition needs NO flags beyond
+    amp + the windowed backend: pad_cols and the windowed row-broadcast
+    gather kernel (recv_bcast) auto-enable (ARCHITECTURE §8.3/§8.7 —
+    66.1 -> 55.9 ms/step at the Yelp-ish envelope, on-chip A/B)."""
+    from dualmessagepassing_tpu.unc.driver import train_unc
+
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 30, 150)
+    dst = (src + rng.integers(1, 30, 150)) % 30
+    rel = rng.integers(0, 2, 150)
+    t = np.stack([src, rel, dst], 1).astype(np.int64)
+    embs, coverage = train_unc(
+        t, 30, 2, h_dim=8, n_layers=1, graph_batch_size=50,
+        sample_depth=2, sample_width=5, n_epochs=2, v_max=30, e_max=150,
+        seed=0,
+        amp=True, scatter_backend="windowed",   # levers auto-compose
+        log=lambda s: None)
+    print(f"UNC shipped default (amp+windowed+pad_cols+recv_bcast): "
+          f"coverage {coverage:.2f}, emb shape {embs.shape}")
+
+
 if __name__ == "__main__":
     scm_amp_microbatched()
     unc_all_levers()
     unc_single_device_cotangent_levers()
+    unc_shipped_default_composition()
