@@ -134,6 +134,37 @@ def main():
         for mode in ("highest", "hilo"):
             variants[f"v5_windowed_{mode}"] = (mk_v5(mode), (msg_s,))
 
+        # --- row-GATHER variants (the round-4 broadcast kernel's op:
+        # rows[e] = table[recv[e]] for a receiver-sorted stream and a
+        # [V, 128] bf16 table — the UNC forward endpoint gather) ---
+        tbl = jnp.asarray(rng.normal(size=(V, 128)), jnp.bfloat16)
+        bplan = sk.build_bcast_plan(recv_sorted, V, e_env=E, v_env=V)
+        recv_col_d = jnp.asarray(plan["recv_col"])
+        sb_d = tuple(jnp.asarray(bplan[k]) for k in ("blk", "win", "first"))
+
+        @jax.jit
+        def xla_gather_sorted(t, r):
+            return t[r]
+
+        @jax.jit
+        def bcast_windowed(t):
+            return sk.windowed_row_broadcast(t, recv_col_d, *sb_d)
+
+        gather_bytes = E * 128 * 2 + V * 128 * 2 + E * 4
+        gather_bound = gather_bytes / (HBM_GBPS * 1e9) * 1e3
+        for name, (fn, a) in (
+                ("gather_xla_sorted", (xla_gather_sorted, (tbl, recv_s))),
+                ("gather_bcast_windowed", (bcast_windowed, (tbl,)))):
+            ms = time_op(fn, a, args.iters)
+            rows.append({
+                "V": V, "E": E, "H": 128, "variant": name,
+                "device_ms": None if ms is None else round(ms, 4),
+                "roofline_ms": round(gather_bound, 4),
+                "x_roofline": None if ms is None
+                else round(ms / gather_bound, 2),
+            })
+            print(json.dumps(rows[-1]), flush=True)
+
         ideal_bytes = E * H * 4 + V * H * 4 + E * 4
         bound_ms = ideal_bytes / (HBM_GBPS * 1e9) * 1e3
         for name, (fn, a) in variants.items():
