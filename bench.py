@@ -291,7 +291,7 @@ def build_unc_step(v: int, e: int, h: int = 50, layers: int = 2,
         # pad_cols for the 128-lane table)
         sub_np = attach_scatter_plan(
             sub_np,
-            sender_plan=os.environ.get("BENCH_UNC_SENDWIN", "0") == "1",
+            sender_plan=os.environ.get("BENCH_UNC_SENDWIN", "1") == "1",
             bcast_plan=os.environ.get("BENCH_UNC_RECVBCAST", "1") == "1")
     sub = {k: jnp.asarray(val) for k, val in sub_np.items()}
     amp = os.environ.get("BENCH_AMP", "1") == "1"
@@ -394,9 +394,9 @@ def main_unc():
         # the backend ships a plan; sendwin_effective records that.
         "endpoints": os.environ.get("BENCH_UNC_ENDPOINTS", "split"),
         "pad_cols": os.environ.get("BENCH_UNC_PADCOLS", "1") == "1",
-        "sendwin": os.environ.get("BENCH_UNC_SENDWIN", "0") == "1",
+        "sendwin": os.environ.get("BENCH_UNC_SENDWIN", "1") == "1",
         "sendwin_effective": (
-            os.environ.get("BENCH_UNC_SENDWIN", "0") == "1"
+            os.environ.get("BENCH_UNC_SENDWIN", "1") == "1"
             and os.environ.get("BENCH_AMP", "1") == "1"
             and os.environ.get("BENCH_UNC_BACKEND", "windowed") == "windowed"
             and os.environ.get("BENCH_UNC_ENDPOINTS", "split") != "fused"),

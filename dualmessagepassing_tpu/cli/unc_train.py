@@ -77,10 +77,12 @@ def get_args(argv=None):
                         "(aligned gather/scatter rows; DMPNN backbone). "
                         "auto = on single-device, off sharded "
                         "(ARCHITECTURE §8.7)")
-    p.add_argument("--sender_windowed", type=str, default="False",
+    p.add_argument("--sender_windowed", type=str, default="auto",
                    help="sender cotangent through the windowed kernel "
                         "(sk2 twin plan; needs --amp True and "
-                        "--scatter_backend windowed)")
+                        "--scatter_backend windowed). auto = on exactly "
+                        "when recv_bcast is on (wins only composed — "
+                        "ARCHITECTURE §8.3 round-4)")
     p.add_argument("--recv_bcast", type=str, default="auto",
                    help="forward receiver gather (and the aggregation's "
                         "backward gather) through the windowed "

@@ -314,9 +314,12 @@ def train_unc(
                                       # None = auto (on single-device —
                                       # +15% at V=65k, neutral at 262k;
                                       # off sharded: unmeasured there)
-    sender_windowed: bool = False,   # sender cotangent through the
-                                     # windowed kernel (sk2 twin plan;
-                                     # needs amp + windowed backend)
+    sender_windowed: Optional[bool] = None,  # sender cotangent through
+                                     # the windowed kernel (sk2 twin
+                                     # plan; needs amp + windowed).
+                                     # None = auto: on exactly when
+                                     # recv_bcast is on — it wins only
+                                     # composed with it (§8.3 round-4)
     recv_bcast: Optional[bool] = None,  # forward receiver gather (and the
                                         # aggregation's backward gather)
                                         # through the windowed row-
@@ -434,6 +437,13 @@ def train_unc(
         raise ValueError(
             "recv_bcast requires amp=True, scatter_backend='windowed', "
             "pad_cols, split endpoints, and no ep_devices")
+    if sender_windowed is None:
+        # auto: sendwin only wins COMPOSED with recv_bcast (the round-3
+        # dead-end mechanism was VMEM eviction of the gather tables,
+        # which recv_bcast removes — §8.3 round-4: 55.9 -> 54.8 ms at
+        # V=65k, 272.1 -> 267.7 at 262k; it still loses ~1.5% at the
+        # V=1M/E=4M probe, override with sender_windowed=False there)
+        sender_windowed = bool(recv_bcast)
     model = UNCTrainModel(ep_axis="ep" if ep_mesh is not None else None,
                           node_sharding="owner" if halo else "replicated",
                           **mkw)
