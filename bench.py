@@ -217,6 +217,29 @@ def measure(bsz: int, iters: int):
     return dev_ms, host_ms, flops
 
 
+def unc_lever_flags(h: int = 50) -> dict:
+    """Resolve the UNC lever env flags ONCE (attach, model, and JSON all
+    read this), with *_effective derived the same way the model/driver
+    gate the kernel paths — a recorded flag must describe the program
+    that actually ran (round-4 A/B artifacts are keyed on these)."""
+    env = os.environ.get
+    amp = env("BENCH_AMP", "1") == "1"
+    backend = env("BENCH_UNC_BACKEND", "windowed")
+    endpoints = env("BENCH_UNC_ENDPOINTS", "split")
+    pad_cols = env("BENCH_UNC_PADCOLS", "1") == "1"
+    sendwin = env("BENCH_UNC_SENDWIN", "1") == "1"
+    recv_bcast = env("BENCH_UNC_RECVBCAST", "1") == "1"
+    fits = 2 * h + 1 <= 128      # the cotangent kernels' 128-lane tile
+    base = amp and backend == "windowed" and endpoints != "fused" and fits
+    return {
+        "amp": amp, "backend": backend, "endpoints": endpoints,
+        "pad_cols": pad_cols, "sendwin": sendwin,
+        "recv_bcast": recv_bcast,
+        "sendwin_effective": bool(sendwin and base),
+        "recv_bcast_effective": bool(recv_bcast and base and pad_cols),
+    }
+
+
 def build_unc_step(v: int, e: int, h: int = 50, layers: int = 2,
                    s: int = 60000):
     """Real UNC train step (driver's make_unc_train_step) on a synthetic
@@ -279,28 +302,27 @@ def build_unc_step(v: int, e: int, h: int = 50, layers: int = 2,
     # round-3 gather-VJP restructure (52.5 ms vs 55.9 xla at this
     # envelope — the kernel's margin returned once the scatter share
     # grew; ARCHITECTURE §8.3)
-    backend = os.environ.get("BENCH_UNC_BACKEND", "windowed")
+    flags = unc_lever_flags(h)
+    backend = flags["backend"]
     if backend == "windowed":
         from dualmessagepassing_tpu.ops.segment_kernel import \
             attach_scatter_plan
 
-        # BENCH_UNC_SENDWIN=1: windowed sender cotangent via the
-        # senders-sorted twin plan (§8.3 large-V recipe)
-        # BENCH_UNC_RECVBCAST=1: windowed FORWARD receiver gather (the
-        # Pallas row-broadcast kernel — §8.3 large-V lever; needs
-        # pad_cols for the 128-lane table)
+        # plans are attached only when the lever is EFFECTIVE (fully
+        # gated in the model), so sb_*/sk2_* presence — and therefore
+        # the program measured — matches the *_effective JSON flags
         sub_np = attach_scatter_plan(
             sub_np,
-            sender_plan=os.environ.get("BENCH_UNC_SENDWIN", "1") == "1",
-            bcast_plan=os.environ.get("BENCH_UNC_RECVBCAST", "1") == "1")
+            sender_plan=flags["sendwin_effective"],
+            bcast_plan=flags["recv_bcast_effective"])
     sub = {k: jnp.asarray(val) for k, val in sub_np.items()}
-    amp = os.environ.get("BENCH_AMP", "1") == "1"
+    amp = flags["amp"]
 
     model = UNCTrainModel(
         num_nodes=v, num_rels=R, h_dim=h, nlabel=0,
         num_hidden_layers=layers, dropout=0.2, reg_param=0.01,
         backbone="DMPNN", sorted_edges=True, scatter_backend=backend,
-        pad_cols=os.environ.get("BENCH_UNC_PADCOLS", "1") == "1")
+        pad_cols=flags["pad_cols"])
     variables = init_unc_variables(model, jax.random.PRNGKey(0), sub)
     params = variables["params"]
     stats = variables.get("batch_stats", {})
@@ -386,29 +408,10 @@ def main_unc():
         "host_step_ms": round(host_ms, 3),
         "flops_per_step": flops,
         "mfu": round(mfu, 4),
-        "amp": os.environ.get("BENCH_AMP", "1") == "1",
-        "backend": os.environ.get("BENCH_UNC_BACKEND", "windowed"),
         # round-4 lever flags — recorded so A/B artifacts are
-        # self-describing. NOTE: sendwin only ENGAGES under bf16 amp
-        # (the model gates the sk2 path on the compute dtype) and when
-        # the backend ships a plan; sendwin_effective records that.
-        "endpoints": os.environ.get("BENCH_UNC_ENDPOINTS", "split"),
-        "pad_cols": os.environ.get("BENCH_UNC_PADCOLS", "1") == "1",
-        "sendwin": os.environ.get("BENCH_UNC_SENDWIN", "1") == "1",
-        "sendwin_effective": (
-            os.environ.get("BENCH_UNC_SENDWIN", "1") == "1"
-            and os.environ.get("BENCH_AMP", "1") == "1"
-            and os.environ.get("BENCH_UNC_BACKEND", "windowed") == "windowed"
-            and os.environ.get("BENCH_UNC_ENDPOINTS", "split") != "fused"),
-        # recv_bcast engages under amp+windowed+pad_cols with split
-        # endpoints (the model gates on the 128-lane table + sb_* plan)
-        "recv_bcast": os.environ.get("BENCH_UNC_RECVBCAST", "1") == "1",
-        "recv_bcast_effective": (
-            os.environ.get("BENCH_UNC_RECVBCAST", "1") == "1"
-            and os.environ.get("BENCH_AMP", "1") == "1"
-            and os.environ.get("BENCH_UNC_BACKEND", "windowed") == "windowed"
-            and os.environ.get("BENCH_UNC_PADCOLS", "1") == "1"
-            and os.environ.get("BENCH_UNC_ENDPOINTS", "split") != "fused"),
+        # self-describing; resolved ONCE in unc_lever_flags so the
+        # attach/model/JSON always agree on the program measured
+        **unc_lever_flags(),
     }
     if scale_ratio is not None:
         out["scale_ratio_4x"] = round(scale_ratio, 2)
@@ -495,7 +498,8 @@ def build_unc_infer(v: int, e: int):
     }
     sub_np["out_deg"] = np.bincount(
         sub_np["senders"], minlength=v).astype(np.float32)
-    backend = os.environ.get("BENCH_UNC_BACKEND", "windowed")
+    flags = unc_lever_flags(h)
+    backend = flags["backend"]
     if backend == "windowed":
         from dualmessagepassing_tpu.ops.segment_kernel import \
             attach_scatter_plan
@@ -505,16 +509,15 @@ def build_unc_infer(v: int, e: int):
         # as a 5% loss — that was session drift (§9), the within-minutes
         # A/B is the signal.
         sub_np = attach_scatter_plan(
-            sub_np,
-            bcast_plan=os.environ.get("BENCH_UNC_RECVBCAST", "1") == "1")
+            sub_np, bcast_plan=flags["recv_bcast_effective"])
     sub = {k: jnp.asarray(val) for k, val in sub_np.items()}
-    amp = os.environ.get("BENCH_AMP", "1") == "1"
+    amp = flags["amp"]
 
     model = UNCTrainModel(
         num_nodes=v, num_rels=R, h_dim=h, nlabel=0,
         num_hidden_layers=2, dropout=0.0, reg_param=0.01,
         backbone="DMPNN", sorted_edges=True, scatter_backend=backend,
-        pad_cols=os.environ.get("BENCH_UNC_PADCOLS", "1") == "1")
+        pad_cols=flags["pad_cols"])
     variables = init_unc_variables(model, jax.random.PRNGKey(0), sub)
     params = variables["params"]
     stats = variables.get("batch_stats", {})

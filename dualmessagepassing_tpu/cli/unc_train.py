@@ -155,7 +155,9 @@ def main(argv=None):
             endpoint_gather=args.endpoint_gather,
             pad_cols=(None if args.pad_cols.lower() == "auto"
                       else args.pad_cols.lower() in ("true", "1")),
-            sender_windowed=args.sender_windowed.lower() in ("true", "1"),
+            sender_windowed=(None if args.sender_windowed.lower() == "auto"
+                             else args.sender_windowed.lower()
+                             in ("true", "1")),
             recv_bcast=(None if args.recv_bcast.lower() == "auto"
                         else args.recv_bcast.lower() in ("true", "1")),
             log=log)

@@ -77,6 +77,28 @@ DEFAULT_WINDOW = 128
 PLAN_KEYS = ("sk_blk", "sk_win", "sk_first", "sk_recv")
 
 
+def _envelope(e_env: int, v_env: int, tile_e: int, window: int):
+    """Shared static-envelope math for BOTH planners — the broadcast
+    plan's pass arrays index the scatter plan's recv_col blocks, so the
+    two MUST round e_pad/v_pad/P_env identically."""
+    v_pad = -(-v_env // window) * window
+    e_pad = -(-e_env // (8 * tile_e)) * (8 * tile_e)
+    p_env = e_pad // tile_e + v_pad // window + 2
+    return v_pad, e_pad, p_env
+
+
+def _check_stream(receivers_sorted: np.ndarray, num_nodes: int,
+                  e_env: int, v_env: int) -> np.ndarray:
+    recv = np.asarray(receivers_sorted, np.int64)
+    if e_env < len(recv):
+        raise ValueError(f"e_env={e_env} < stream length {len(recv)}")
+    if v_env < num_nodes:
+        raise ValueError(f"v_env={v_env} < num_nodes {num_nodes}")
+    if len(recv) and (np.diff(recv) < 0).any():
+        raise ValueError("receivers must be sorted (pad_subgraph order)")
+    return recv
+
+
 def build_pass_plan(receivers_sorted: np.ndarray, num_nodes: int,
                     e_env: int, v_env: int,
                     tile_e: int = DEFAULT_TILE_E,
@@ -92,20 +114,12 @@ def build_pass_plan(receivers_sorted: np.ndarray, num_nodes: int,
     plus scalars v_pad (padded rows) and e_pad (padded edges, mult of 8T).
     """
     T, W = tile_e, window
-    E_real = len(receivers_sorted)
-    if e_env < E_real:
-        raise ValueError(f"e_env={e_env} < stream length {E_real}")
-    if v_env < num_nodes:
-        raise ValueError(f"v_env={v_env} < num_nodes {num_nodes}")
-    v_pad = -(-v_env // W) * W
+    recv = _check_stream(receivers_sorted, num_nodes, e_env, v_env)
+    E_real = len(recv)
+    v_pad, e_pad, P_env = _envelope(e_env, v_env, T, W)
     n_windows = v_pad // W
     dump = n_windows
-    e_pad = -(-e_env // (8 * T)) * (8 * T)
-    P_env = e_pad // T + v_pad // W + 2
 
-    recv = np.asarray(receivers_sorted, np.int64)
-    if E_real and (np.diff(recv) < 0).any():
-        raise ValueError("receivers must be sorted (pad_subgraph order)")
     # one pass per distinct (chunk, window) pair, in stream order
     chunk_of = np.arange(E_real) // T
     win_of = recv // W
@@ -417,20 +431,11 @@ def build_bcast_plan(receivers_sorted: np.ndarray, num_nodes: int,
     passes <= chunks + window transitions <= e_pad/T + v_pad/W + 1.
     """
     T, W = tile_e, window
-    E_real = len(receivers_sorted)
-    if e_env < E_real:
-        raise ValueError(f"e_env={e_env} < stream length {E_real}")
-    if v_env < num_nodes:
-        raise ValueError(f"v_env={v_env} < num_nodes {num_nodes}")
-    v_pad = -(-v_env // W) * W
+    recv = _check_stream(receivers_sorted, num_nodes, e_env, v_env)
+    E_real = len(recv)
+    v_pad, e_pad, P_env = _envelope(e_env, v_env, T, W)
     n_windows = v_pad // W
     dump = n_windows
-    e_pad = -(-e_env // (8 * T)) * (8 * T)
-    P_env = e_pad // T + v_pad // W + 2
-
-    recv = np.asarray(receivers_sorted, np.int64)
-    if E_real and (np.diff(recv) < 0).any():
-        raise ValueError("receivers must be sorted (pad_subgraph order)")
     recv_full = np.full(e_pad, v_pad, np.int64)
     recv_full[:E_real] = recv
     chunk_of = np.arange(e_pad) // T

@@ -414,29 +414,35 @@ def train_unc(
             "endpoint_gather='fused' / sender_windowed are single-device "
             "cotangent levers (the sharded paths carry no global sort "
             "keys); drop them or drop ep_devices")
-    if sender_windowed and not (amp and windowed):
-        # the model gates the sk2 path on bf16 + a windowed plan — a
-        # silent no-op here would invalidate any A/B built on this flag
+    if sender_windowed and not (amp and windowed and 2 * h_dim + 1 <= 128):
+        # the model gates the sk2 path on bf16 + a windowed plan + the
+        # table fitting one 128-lane tile — a silent no-op here would
+        # invalidate any A/B built on this flag
         raise ValueError(
-            "sender_windowed requires amp=True and "
-            "scatter_backend='windowed'")
+            "sender_windowed requires amp=True, "
+            "scatter_backend='windowed', and h_dim <= 63")
     if sender_windowed and endpoint_gather == "fused":
         raise ValueError(
             "endpoint_gather='fused' replaces BOTH endpoint gathers — "
             "sender_windowed would be dead; pick one")
+    # the cotangent/broadcast kernels need the [V, 2H+1] table (padded)
+    # to fit one 128-lane tile; h_dim >= 64 pads past it and the model
+    # falls back to the sorted XLA paths
+    cols_fit_128 = 2 * h_dim + 1 <= 128
     if recv_bcast is None:
         # auto: every condition the model's sb gate needs (bf16 compute,
         # windowed plan, 128-lane table, split endpoints, single device)
-        recv_bcast = bool(amp and windowed and pad_cols
+        recv_bcast = bool(amp and windowed and pad_cols and cols_fit_128
                           and not ep_devices
                           and endpoint_gather != "fused")
-    elif recv_bcast and not (amp and windowed and pad_cols
+    elif recv_bcast and not (amp and windowed and pad_cols and cols_fit_128
                              and not ep_devices
                              and endpoint_gather != "fused"):
-        # a silent no-op would invalidate any A/B built on this flag
+        # a silent (partial) no-op would invalidate any A/B built on
+        # this flag — the model's forward gate needs exactly 128 lanes
         raise ValueError(
             "recv_bcast requires amp=True, scatter_backend='windowed', "
-            "pad_cols, split endpoints, and no ep_devices")
+            "pad_cols, h_dim <= 63, split endpoints, and no ep_devices")
     if sender_windowed is None:
         # auto: sendwin only wins COMPOSED with recv_bcast (the round-3
         # dead-end mechanism was VMEM eviction of the gather tables,

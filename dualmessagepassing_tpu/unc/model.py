@@ -497,7 +497,8 @@ class DualGraphConv(nn.Module):
             at_recv = jax.lax.optimization_barrier(rows[n_e:])
         else:
             if ("sk2_blk" in sub and self.ep_axis is None
-                    and cols.dtype == jnp.bfloat16):
+                    and cols.dtype == jnp.bfloat16
+                    and cols.shape[1] <= 128):
                 # windowed sender cotangent over the senders-sorted twin
                 # plan (attach_scatter_plan(sender_plan=True); §8.3
                 # large-V recipe — measure before shipping, the permute
@@ -522,7 +523,7 @@ class DualGraphConv(nn.Module):
             # §8.3 post-mortem). f32 and sharded paths keep the sorted
             # scatter.
             if (self.ep_axis is None and cols.dtype == jnp.bfloat16
-                    and _use_windowed(self, sub, 128)
+                    and _use_windowed(self, sub, cols.shape[1])
                     and "sb_blk" in sub and cols.shape[1] == 128):
                 # windowed forward AND backward: the row-broadcast kernel
                 # streams the table through VMEM (the §8.3 large-V HBM
@@ -533,7 +534,10 @@ class DualGraphConv(nn.Module):
                     sub["sk_win"], sub["sk_first"], sub["sb_blk"],
                     sub["sb_win"], sub["sb_first"])
             elif (self.ep_axis is None and cols.dtype == jnp.bfloat16
-                    and _use_windowed(self, sub, 128)):
+                    and _use_windowed(self, sub, cols.shape[1])):
+                # width gate uses the TABLE width: the cotangent stream
+                # is [E, cols-width] and must fit the kernel's 128-lane
+                # tile (h_dim >= 64 pads past it -> sorted-XLA fallback)
                 at_recv = _take_rows_win(cols, receivers, sub["sk_recv"],
                                          sub["sk_blk"], sub["sk_win"],
                                          sub["sk_first"])

@@ -55,7 +55,12 @@ run scm_conv_v3 5400 -- python scripts/scm_convergence.py --pairs 4096 --max-epo
 # remaining §8.3 large-V dissection (first attempt got 2 of 4 profiles)
 run prof_largev 2400 BENCH_UNC_V=262144 BENCH_UNC_E=2097152 -- python scripts/profile_unc_step.py 3 30
 
-# stability re-check of the phase-1 A/B (one more sample per arm)
+# stability re-check of the phase-1 A/B (one more sample per arm).
+# HISTORICAL NOTE: these arms were recorded BEFORE commits ccf9428/
+# 0765a96 flipped the bench defaults (BENCH_UNC_RECVBCAST/SENDWIN now
+# default 1) — re-running them at HEAD measures a different program
+# than phase 1 did; pin SENDWIN=0 RECVBCAST=0 to reproduce the
+# original arms.
 run unc_default2 1200 BENCH_WORKLOAD=unc BENCH_UNC_PADCOLS=0 -- python bench.py
 run unc_padcols2 1200 BENCH_WORKLOAD=unc BENCH_UNC_PADCOLS=1 -- python bench.py
 
