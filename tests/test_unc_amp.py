@@ -240,3 +240,25 @@ def test_train_unc_recv_bcast_default_end_to_end(rng):
     assert np.isfinite(embs).all()
     with _pytest.raises(ValueError, match="recv_bcast"):
         train_unc(t, 25, 2, amp=False, recv_bcast=True, **kw)
+
+
+def test_train_unc_h64_windowed_amp_falls_back(rng):
+    """h_dim >= 64 makes the [V, 2H+1] endpoint table exceed one
+    128-lane tile: the cotangent/broadcast kernel gates must fall back
+    to the sorted XLA paths instead of tracing the kernel with an
+    oversized stream (pre-fix this crashed with a broadcast shape error
+    at trace time under amp + windowed + pad_cols)."""
+    from dualmessagepassing_tpu.unc.driver import train_unc
+
+    src = rng.integers(0, 30, 150)
+    dst = (src + rng.integers(1, 30, 150)) % 30
+    rel = rng.integers(0, 2, 150)
+    t = np.stack([src, rel, dst], axis=1).astype(np.int64)
+    embs, coverage = train_unc(
+        t, 30, 2, h_dim=64, n_layers=1, lr=1e-2, reg_param=0.01,
+        negative_rate=2, graph_batch_size=50, graph_split_size=0.9,
+        sampler="randomwalk", sample_depth=2, sample_width=5,
+        n_epochs=1, v_max=30, e_max=150, seed=0, amp=True,
+        scatter_backend="windowed", log=lambda s: None)
+    assert embs.shape == (30, 64)
+    assert np.isfinite(embs).all()
