@@ -542,6 +542,13 @@ class DualGraphConv(nn.Module):
                                          sub["sk_blk"], sub["sk_win"],
                                          sub["sk_first"])
             else:
+                # owner-sharded included: routing the receiver cotangent
+                # through the windowed kernel on the per-shard plan was
+                # BUILT and MEASURED a dead end (round 4, 1-device mesh:
+                # 54.9 -> 68.5 ms at width 101 — the [E, 128] lane-pad
+                # copy trap — and 58.8 with pad_cols; the halo layout's
+                # sorted scatter into the [owned; halo; dump] table is
+                # already the winner). ARCHITECTURE §8.3 halo coda.
                 at_recv = _take_rows(cols, receivers,
                                      sorted_idx=self.sorted_edges)
             at_recv = jax.lax.optimization_barrier(at_recv)

@@ -153,6 +153,7 @@ def main():
             mkw = dict(num_nodes=V, num_rels=R, h_dim=H, nlabel=0,
                        num_hidden_layers=args.layers, dropout=0.2,
                        reg_param=0.01, backbone="DMPNN", sorted_edges=True,
+                       pad_cols=os.environ.get("HALO_PADCOLS", "0") == "1",
                        scatter_backend="windowed" if windowed else "xla")
             halo_model = UNCTrainModel(ep_axis="ep", node_sharding="owner",
                                        **mkw)
