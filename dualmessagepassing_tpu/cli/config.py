@@ -65,6 +65,15 @@ def add_model_config(parser):
     g.add_argument("--rep_rnn_bidirectional", type=str2bool, default=False)
     g.add_argument("--rep_rnn_layer_norm", type=str2bool, default=False)
     g.add_argument("--rep_txl_num_heads", type=int, default=4)
+    # dead flags in the reference too (config.py:63,284: parsed, never
+    # consumed — TXL heads come from --rep_txl_num_heads); accepted so
+    # reference commands parse verbatim
+    g.add_argument("--rep_txl_layer_norm", type=str2bool, default=True,
+                   help="accepted for reference-command compatibility "
+                        "(unused in the reference as well)")
+    g.add_argument("--rep_num_heads", type=int, default=4,
+                   help="accepted for reference-command compatibility "
+                        "(unused in the reference as well)")
     g.add_argument("--rep_txl_seg_len", type=int, default=64)
     g.add_argument("--rep_txl_mem_len", type=int, default=64)
     g.add_argument("--rep_txl_clamp_len", type=int, default=-1)
@@ -156,6 +165,13 @@ def add_train_config(parser):
     g.add_argument("--match_reg_w", type=str2value, default=0.0001)
     g.add_argument("--rep_reg_w", type=str2value, default=0.0001)
     g.add_argument("--curriculum_warmup_epochs", type=int, default=-1)
+    g.add_argument("--train_log_steps", type=int, default=-1,
+                   help="in-epoch logging period in steps (reference "
+                        "train.py:726); <=0 keeps the driver default")
+    g.add_argument("--num_workers", type=int, default=1,
+                   help="accepted for reference-command compatibility; "
+                        "the host pipeline is vectorized numpy + C++ "
+                        "kernels (no DataLoader worker pool to size)")
     g.add_argument("--profile_dir", type=str, default="",
                    help="write a jax.profiler trace of the first epoch here")
 
@@ -168,6 +184,8 @@ def get_train_config(argv=None) -> Dict[str, Any]:
     args = parser.parse_args(argv)
     cfg = vars(args)
     cfg["base"] = cfg.pop("enc_base")
+    if cfg.get("train_log_steps", -1) > 0:
+        cfg["log_every"] = cfg["train_log_steps"]
     return cfg
 
 

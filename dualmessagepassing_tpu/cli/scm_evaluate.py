@@ -13,6 +13,20 @@ import datetime
 import os
 
 
+def build_parser():
+    parser = argparse.ArgumentParser("scm-evaluate")
+    parser.add_argument("--load_model_dir", type=str, required=True)
+    # optional overrides: evaluate the trained model on a DIFFERENT dataset
+    # (reference evaluate.py:44-77 takes the data dirs on its own command
+    # line; the transfer setting — train small, evaluate large — needs them)
+    parser.add_argument("--pattern_dir", type=str, default=None)
+    parser.add_argument("--graph_dir", type=str, default=None)
+    parser.add_argument("--metadata_dir", type=str, default=None)
+    parser.add_argument("--save_data_dir", type=str, default=None)
+    parser.add_argument("--eval_batch_size", type=int, default=None)
+    return parser
+
+
 def main(argv=None):
     import jax
 
@@ -25,17 +39,7 @@ def main(argv=None):
     from ..utils.io import load_config, save_results
     from ..utils.log import get_best_epochs, init_logger
 
-    parser = argparse.ArgumentParser("scm-evaluate")
-    parser.add_argument("--load_model_dir", type=str, required=True)
-    # optional overrides: evaluate the trained model on a DIFFERENT dataset
-    # (reference evaluate.py:44-77 takes the data dirs on its own command
-    # line; the transfer setting — train small, evaluate large — needs them)
-    parser.add_argument("--pattern_dir", type=str, default=None)
-    parser.add_argument("--graph_dir", type=str, default=None)
-    parser.add_argument("--metadata_dir", type=str, default=None)
-    parser.add_argument("--save_data_dir", type=str, default=None)
-    parser.add_argument("--eval_batch_size", type=int, default=None)
-    args = parser.parse_args(argv)
+    args = build_parser().parse_args(argv)
     path = args.load_model_dir
 
     config = load_config(os.path.join(path, "config.json"))

@@ -23,21 +23,21 @@ def get_args(argv=None):
                    choices=["DMPNN", "CompGCN", "RGCN", "RGIN"])
     p.add_argument("--supervised", type=str, default="False")
     p.add_argument("--attributed", type=str, default="False")
-    p.add_argument("--n_hidden", type=int, default=50)
-    p.add_argument("--n_layers", type=int, default=2)
+    p.add_argument("--n_hidden", "--n-hidden", type=int, default=50)
+    p.add_argument("--n_layers", "--n-layers", type=int, default=2)
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--regularization", type=float, default=1e-2)
-    p.add_argument("--negative_sample", type=int, default=5)
+    p.add_argument("--negative_sample", "--negative-sample", type=int, default=5)
     p.add_argument("--dropout", type=float, default=0.2)
-    p.add_argument("--graph_batch_size", type=int, default=10000)
-    p.add_argument("--label_batch_size", type=int, default=512)
-    p.add_argument("--graph_split_size", type=float, default=0.5)
+    p.add_argument("--graph_batch_size", "--graph-batch-size", type=int, default=10000)
+    p.add_argument("--label_batch_size", "--label-batch-size", type=int, default=512)
+    p.add_argument("--graph_split_size", "--graph-split-size", type=float, default=0.5)
     p.add_argument("--sampler", type=str, default="randomwalk",
                    choices=["randomwalk", "neighbor"])
-    p.add_argument("--sample_depth", type=int, default=3)
-    p.add_argument("--sample_width", type=int, default=10)
-    p.add_argument("--n_epochs", type=int, default=50)
-    p.add_argument("--grad_norm", type=float, default=1.0)
+    p.add_argument("--sample_depth", "--sample-depth", type=int, default=3)
+    p.add_argument("--sample_width", "--sample-width", type=int, default=10)
+    p.add_argument("--n_epochs", "--n-epochs", type=int, default=50)
+    p.add_argument("--grad_norm", "--grad-norm", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--gpu", type=int, default=-1,
                    help="accepted for reference compatibility; unused")
