@@ -33,7 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(pairs: int, max_epochs: int, early_stop: int, bsz: int, lr: float,
-        amp: bool, seed: int, probe_steps: int = 600, log=print) -> dict:
+        amp: bool, seed: int, probe_steps: int = 600, hid: int = 64,
+        log=print) -> dict:
     import jax
 
     from dualmessagepassing_tpu import build_model
@@ -74,6 +75,13 @@ def run(pairs: int, max_epochs: int, early_stop: int, bsz: int, lr: float,
         f"zero-frac {np.mean(np.asarray(counts) == 0):.2f}")
 
     cfg = _flagship_config(add_rev=True)
+    if hid != 64:
+        # capacity-axis variant (round-4 follow-up): the data-scale
+        # hypothesis for held-out matching is settled negative at 4k and
+        # 16k pairs; --hid probes the model-capacity axis at the same
+        # recipe (reference width is 64 — config.py:232)
+        import dataclasses
+        cfg = dataclasses.replace(cfg, hid_dim=hid, pred_hid_dim=hid)
     model = build_model(cfg)
 
     # Trivial-predictor baselines (round-4 honesty fix): the gold
@@ -258,7 +266,7 @@ def run(pairs: int, max_epochs: int, early_stop: int, bsz: int, lr: float,
         "unit": "MAE",
         "config": {"pairs": pairs, "bsz": bsz, "lr": lr, "amp": amp,
                    "seed": seed, "max_epochs": max_epochs,
-                   "early_stop": early_stop,
+                   "early_stop": early_stop, "hid": hid,
                    "envelope": "Complex+rev (8V/8E pattern, 64V/512E graph)"},
         "platform": jax.devices()[0].platform,
         "stopped_at_epoch": stopped_at,
@@ -350,6 +358,8 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--probe-steps", type=int, default=600,
                     help="overfit-probe length (the machinery gate)")
+    ap.add_argument("--hid", type=int, default=64,
+                    help="hid_dim/pred_hid_dim override (capacity axis)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--check", default=None,
                     help="gate final metrics against this stored JSON")
@@ -360,7 +370,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     result = run(args.pairs, args.max_epochs, args.early_stop, args.bsz,
                  args.lr, bool(args.amp), args.seed,
-                 probe_steps=args.probe_steps)
+                 probe_steps=args.probe_steps, hid=args.hid)
     print(json.dumps({k: v for k, v in result.items() if k != "trajectory"}))
     if args.out:
         with open(args.out, "w") as f:
