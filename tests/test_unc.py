@@ -168,6 +168,34 @@ def test_unc_supervised_training(rng):
     assert "w_relation" in variables["params"]
 
 
+def test_unc_supervised_training_multilabel(rng):
+    """multi=True supervised branch trains end-to-end: per-node BCE over
+    multi-hot labels (model.py supervised_loss multi arm; the reference's
+    semi-supervised Yelp protocol, Model/*/src/utils.py multi-label
+    parse + node_classification.py:87-196)."""
+    from dualmessagepassing_tpu.unc.driver import train_unc_supervised
+
+    t = make_triplets(rng, n=20, e=80, r=2)
+    train_indices, train_labels = {}, {}
+    for n in range(8):
+        inc = [i for i, row in enumerate(t)
+               if row[0] == n or row[2] == n]
+        if inc:
+            train_indices[n] = inc
+            # label-index arrays, the reference loader's multi format
+            train_labels[n] = np.array([n % 3, (n + 1) % 3])
+    variables, model = train_unc_supervised(
+        t, 20, 2, train_indices, train_labels, nlabel=3, multi=True,
+        h_dim=8, n_layers=1, lr=1e-2, reg_param=0.01,
+        graph_batch_size=40, label_batch_size=4, graph_split_size=0.9,
+        sampler="neighbor", sample_depth=2, sample_width=5,
+        n_epochs=2, v_max=20, e_max=100, seed=0, log=lambda s: None)
+    assert model.multi
+    assert "node_fc" in variables["params"]
+    leaves = jax.tree.leaves(jax.tree.map(np.asarray, variables["params"]))
+    assert all(np.isfinite(x).all() for x in leaves)
+
+
 def test_dualgraphconv_matches_oracle(rng):
     """UNC DualGraphConv vs a per-edge numpy oracle (incl. edge_norm)."""
     from dualmessagepassing_tpu.unc.model import DualGraphConv
