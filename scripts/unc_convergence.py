@@ -80,6 +80,45 @@ def make_hin(V: int, E: int, C: int, R: int, noise: float, seed: int):
     return triplets[:E], comm
 
 
+def make_hin_multi(V: int, E: int, C: int, R: int, noise: float,
+                   overlap: float, seed: int):
+    """Overlapping-community HIN for the multi-label (Yelp) protocol.
+
+    Like make_hin, but `overlap` of the nodes carry a SECOND community;
+    an edge's source picks one of its communities uniformly and links
+    intra-community with prob 1-noise (else uniform anywhere). Relations
+    stay uniform over R — no label leak. Returns (triplets [E,3],
+    membership [V, C] bool)."""
+    rng = np.random.default_rng(seed)
+    comm = rng.integers(0, C, V)
+    second = np.full(V, -1)
+    sel = rng.random(V) < overlap
+    second[sel] = (comm[sel] + 1 + rng.integers(0, C - 1, sel.sum())) % C
+    members = [np.flatnonzero((comm == c) | (second == c))
+               for c in range(C)]
+    src = rng.integers(0, V, int(E * 1.3))
+    use2 = (second[src] >= 0) & (rng.random(len(src)) < 0.5)
+    ec = np.where(use2, second[src], comm[src])
+    intra = rng.random(len(src)) >= noise
+    dst = np.empty_like(src)
+    for c in range(C):
+        m = members[c]
+        i_sel = (ec == c) & intra
+        dst[i_sel] = m[rng.integers(0, len(m), i_sel.sum())]
+        x_sel = (ec == c) & ~intra
+        dst[x_sel] = rng.integers(0, V, x_sel.sum())
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    rel = rng.integers(0, R, len(src))
+    triplets = np.unique(
+        np.stack([src, rel, dst], 1).astype(np.int64), axis=0)
+    rng.shuffle(triplets)
+    mem = np.zeros((V, C), bool)
+    mem[np.arange(V), comm] = True
+    mem[sel, second[sel]] = True
+    return triplets[:E], mem
+
+
 def split_lp(triplets: np.ndarray, V: int, frac: float, seed: int):
     """Hold out `frac` of edges as lp positives + equal uniform negatives.
     Returns (train_triplets, lp_lines)."""
@@ -134,6 +173,45 @@ def _eval_embs(embs: np.ndarray, labels: np.ndarray, lp_lines, tag, log,
     return out
 
 
+def _eval_embs_multi(embs: np.ndarray, mem: np.ndarray, lp_lines, tag,
+                     log, nc_cap: int | None = None):
+    """Multi-label twin of _eval_embs: the reference's merged-file 5-fold
+    per-class binary-F1 protocol (node_classification.py:147-196) over
+    temp label files in the Yelp format (index\t_\tnclass\tlabels)."""
+    from dualmessagepassing_tpu.unc.evaluate import lp_evaluate, nc_evaluate
+
+    ids = np.arange(len(mem))
+    if nc_cap is not None and len(ids) > nc_cap:
+        rng = np.random.default_rng(99)
+        ids = np.sort(rng.permutation(len(mem))[:nc_cap])
+    lines = ["%d\t_\t0\t%s" % (i, ",".join(map(str, np.flatnonzero(mem[i]))))
+             for i in ids]
+    emb_dict = {str(i): embs[i] for i in range(len(embs))}
+    with tempfile.NamedTemporaryFile("w", suffix=".dat",
+                                     delete=False) as f:
+        f.write("\n".join(lines))
+        label_path = f.name
+    with tempfile.NamedTemporaryFile("w", suffix=".dat",
+                                     delete=False) as f:
+        test_path = f.name          # empty: the protocol merges the files
+    with tempfile.NamedTemporaryFile("w", suffix=".dat",
+                                     delete=False) as f:
+        f.write("\n".join(lp_lines))
+        lp_path = f.name
+    try:
+        macro, micro = nc_evaluate(label_path, test_path, emb_dict,
+                                   supervised=False, multi=True)
+        auc, mrr = lp_evaluate(lp_path, emb_dict)
+    finally:
+        for p in (label_path, test_path, lp_path):
+            os.unlink(p)
+    out = {"macro_f1": round(float(macro), 6),
+           "micro_f1": round(float(micro), 6),
+           "lp_auc": round(float(auc), 6), "lp_mrr": round(float(mrr), 6)}
+    log(f"{tag}: {out}")
+    return out
+
+
 # Regime note (measured, round 4): structure-only community recovery
 # through this pipeline needs LONG training — at V=1200/E=14400/C=4 the
 # 12-epoch run sits at chance (macro 0.25) while 24 epochs reaches macro
@@ -160,6 +238,13 @@ SCALES = {
                n_layers=2, n_epochs=24, graph_batch_size=1024,
                graph_split_size=0.9, sample_width=6, sample_depth=2,
                sup_label_frac=0.5),
+    # multi-label (Yelp protocol) scale: overlapping communities, the
+    # merged-file per-class binary-F1 eval; unsupervised only (the
+    # supervised multi TRAIN branch is unit-tested in tests/test_unc.py)
+    "multi": dict(V=2000, E=28000, C=6, R=3, noise=0.15, h_dim=32,
+                  n_layers=2, n_epochs=24, graph_batch_size=1024,
+                  graph_split_size=0.9, sample_width=6, sample_depth=2,
+                  sup_label_frac=0.5, multilabel=True, overlap=0.3),
     # structural smoke (seconds; no quality claim — harness wiring only)
     "smoke": dict(V=300, E=3600, C=3, R=2, noise=0.1, h_dim=16,
                   n_layers=2, n_epochs=4, graph_batch_size=256,
@@ -174,7 +259,11 @@ def _hin_and_split(scale: str, seed: int, lp_frac: float, log):
     p = SCALES[scale]
     V, E, C, R = p["V"], p["E"], p["C"], p["R"]
     t0 = time.perf_counter()
-    triplets, labels = make_hin(V, E, C, R, p["noise"], seed)
+    if p.get("multilabel"):
+        triplets, labels = make_hin_multi(V, E, C, R, p["noise"],
+                                          p["overlap"], seed)
+    else:
+        triplets, labels = make_hin(V, E, C, R, p["noise"], seed)
     train_trip, lp_lines = split_lp(triplets, V, lp_frac, seed + 1)
     log(f"HIN: V={V} E={len(triplets)} C={C} R={R} noise={p['noise']} "
         f"({time.perf_counter() - t0:.1f}s); lp holdout {len(lp_lines)} rows")
@@ -219,6 +308,8 @@ def run_train(scale: str, seed: int, lp_frac: float, supervised: bool,
                  coverage=np.float64(coverage),
                  train_s=np.float64(train_s),
                  platform=np.str_(jax.devices()[0].platform))
+    if p.get("multilabel"):
+        supervised = False     # unsupervised pin; see the scale's note
     if supervised:
         sup_out, sup_fc, tr_nodes, te_nodes = _train_supervised(
             p, train_trip, labels, V, C, R, kw, seed, log)
@@ -303,14 +394,15 @@ def run_eval(scale: str, seed: int, lp_frac: float, state_path: str,
     V = p["V"]
     embs, embs_u = st["embs"], st["embs_u"]
 
-    trained = _eval_embs(embs, labels, lp_lines, "trained", log)
-    untrained = _eval_embs(embs_u, labels, lp_lines, "untrained", log,
-                           nc_cap=4000)
+    ev = _eval_embs_multi if p.get("multilabel") else _eval_embs
+    trained = ev(embs, labels, lp_lines, "trained", log)
+    untrained = ev(embs_u, labels, lp_lines, "untrained", log,
+                   nc_cap=4000)
     # random-embedding baseline (no device needed — generated here)
     embs_r = np.random.default_rng(seed + 7).normal(
         size=embs.shape).astype(np.float32)
-    random_b = _eval_embs(embs_r, labels, lp_lines, "random", log,
-                          nc_cap=4000)
+    random_b = ev(embs_r, labels, lp_lines, "random", log,
+                  nc_cap=4000)
 
     sup = None
     if "sup_out" in st.files:
