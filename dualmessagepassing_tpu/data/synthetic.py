@@ -39,6 +39,7 @@ def generate_pair(
     g_v_max: Optional[int] = None, g_e_max: Optional[int] = None,
     pair_id: str = "0-0",
     plant: int = 0,
+    p_num_vlabels: Optional[int] = None, p_num_elabels: Optional[int] = None,
 ) -> Dict:
     """One dataset record: pattern/graph records + counts + subisomorphisms +
     derived node/edge weights (the reference stores these in metadata CSVs,
@@ -50,6 +51,12 @@ def generate_pair(
     vocabularies a purely random graph contains ~zero matches — planting
     is how the reference data generator controls the count distribution
     (the published sets' counts are nonzero by construction).
+
+    `p_num_vlabels`/`p_num_elabels` restrict the PATTERN's label vocab to
+    a subset of the graph's (default: same vocab). The reference MUTAG
+    envelope is exactly this shape — patterns draw from 2 vertex / 2 edge
+    labels while graphs carry 7 / 4 (README.md:107-108: max_npvl 2,
+    max_npel 2, max_ngvl 7, max_ngel 4).
     """
     if plant:
         if pv > gv:
@@ -60,7 +67,9 @@ def generate_pair(
             raise ValueError(
                 f"plant={plant} needs plant*pe <= ge ({plant}*{pe} edge"
                 f" slots > {ge} graph edges)")
-    ps, pr, pvl, pel = random_multidigraph(rng, pv, pe, num_vlabels, num_elabels)
+    ps, pr, pvl, pel = random_multidigraph(
+        rng, pv, pe, p_num_vlabels or num_vlabels,
+        p_num_elabels or num_elabels)
     gs, gr, gvl, gel = random_multidigraph(rng, gv, ge, num_vlabels, num_elabels)
     for j in range(plant):
         m = rng.choice(gv, size=pv, replace=False)

@@ -1,17 +1,33 @@
-"""Pinned full-convergence SCM run at the Complex envelope (round-3 item 7).
+"""Pinned full-convergence SCM runs across dataset families.
 
-Trains the flagship DMPNN counting+matching configuration — Complex
-dataset envelope (reference SubgraphCountingMatching/README.md:88-118:
-pattern 8V/8E, graph 64V/256E, 16 labels, reversed-edge augmentation)
-with the reference training recipe (train.py:1231-1372: AdamW amsgrad
-wd 1e-5 clip 8.0, cosine-with-warmup-and-restart LR, annealed leaky
-slope, match losses, early stop on train-loss AND dev-metric staleness)
-— to EARLY STOP on an in-repo planted synthetic set, records the full
+Trains the flagship DMPNN counting+matching configuration with the
+reference training recipe (train.py:1231-1372: AdamW amsgrad wd 1e-5
+clip 8.0, cosine-with-warmup-and-restart LR, annealed leaky slope,
+match losses, early stop on train-loss AND dev-metric staleness) to
+EARLY STOP on an in-repo planted synthetic set, records the full
 per-epoch metric trajectory, and gates reruns against the stored
 artifact.
 
+`--family` selects the dataset envelope (all four reference families,
+SubgraphCountingMatching/README.md:24-117):
+  complex — pattern 8V/8E, graph 64V/256E, 16 labels, planted matches.
+            Gold weights are SPARSE (~16% nodes / ~3% edges nonzero) so
+            the zero predictor is nearly unbeatable; held-out matching
+            is settled negative here across data scale, capacity and
+            training length (ARCHITECTURE §11).
+  er      — UNLABELED Erdős–Rényi: pattern <=4V/10E, graph <=10V/48E,
+            1 vertex/edge label (README.md:38-39: max_npvl 1 max_ngvl 1).
+            Matches are abundant, gold weights DENSE — the zero
+            predictor is weak by construction. This is the round-5
+            envelope that settles whether held-out matching is learnable
+            anywhere in the framework (VERDICT r4 item 1).
+  mutag   — MUTAG-like: pattern <=4V/3E with 2/2 labels, graph <=28V/66E
+            with 7/4 labels (README.md:107-108), planted matches.
+            Intermediate gold-weight density.
+
 NOT in the default test suite (a full run is ~10-30 min). Usage:
     python scripts/scm_convergence.py --out SCM_CONVERGENCE.json   # record
+    python scripts/scm_convergence.py --family er --out SCM_CONVERGENCE_ER.json
     python scripts/scm_convergence.py --check SCM_CONVERGENCE.json # gate
 The gate compares final dev MAE/MSE/MNED/MEED at generous tolerances
 (0.15 rel) — far above run-to-run jitter at fixed seeds, far below a
@@ -32,9 +48,69 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _family_spec(family: str) -> dict:
+    """Generation + envelope parameters per reference dataset family
+    (SubgraphCountingMatching/README.md:24-117). Each spec gives the
+    per-pair sampler kwargs (`sample(rng)`), the fixed caps, the label
+    vocab sizes, the count-tail rejection cap, and the reference batch
+    size for that family's published command line."""
+    if family == "complex":
+        return dict(
+            caps=dict(p_v_max=8, p_e_max=8, g_v_max=64, g_e_max=256),
+            nvl=16, nel=16, p_nvl=16, p_nel=16, count_cap=60, bsz=128,
+            sample=lambda rng: dict(pv=8, pe=8, gv=64, ge=256,
+                                    plant=int(rng.integers(0, 4))),
+            envelope="Complex+rev (8V/8E pattern, 64V/512E graph)")
+    if family == "er":
+        # Unlabeled ER (README.md:38-39): EVERY injective embedding with
+        # the right edges is a match, so counts are naturally large and
+        # gold node/edge weights dense — no planting needed. Pattern
+        # sizes sampled across the cap range like the published set.
+        return dict(
+            caps=dict(p_v_max=4, p_e_max=10, g_v_max=10, g_e_max=48),
+            nvl=1, nel=1, p_nvl=1, p_nel=1, count_cap=256, bsz=64,
+            sample=lambda rng: (lambda pv: dict(
+                pv=pv, pe=int(rng.integers(pv, min(10, 3 * pv) + 1)),
+                gv=10, ge=int(rng.integers(24, 49)), plant=0))(
+                    int(rng.integers(3, 5))),
+            envelope="ER+rev (<=4V/10E unlabeled pattern, 10V/<=48E graph)")
+    if family == "mutag":
+        # MUTAG-like (README.md:107-108): pattern labels are a SUBSET of
+        # the graph vocab (2/2 of 7/4); random label agreement is rare so
+        # matches are planted, but the tiny pattern (<=3 edges) on a
+        # 28V/66E graph leaves weights denser than Complex.
+        return dict(
+            caps=dict(p_v_max=4, p_e_max=3, g_v_max=28, g_e_max=66),
+            nvl=7, nel=4, p_nvl=2, p_nel=2, count_cap=96, bsz=32,
+            sample=lambda rng: (lambda pv: dict(
+                pv=pv, pe=3, gv=28, ge=int(rng.integers(50, 67)),
+                plant=int(rng.integers(1, 4))))(int(rng.integers(3, 5))),
+            envelope="MUTAG+rev (<=4V/3E 2/2-label pattern, "
+                     "28V/<=66E 7/4-label graph)")
+    raise ValueError(f"unknown family {family!r} "
+                     "(choose complex | er | mutag)")
+
+
+def _family_model_config(spec: dict, hid: int):
+    """ModelConfig for a family envelope with reversed-edge augmentation
+    (train.py:1150-1158 doubles E and edge labels). Flagship Complex
+    matches __graft_entry__._flagship_config exactly."""
+    from dualmessagepassing_tpu import ModelConfig
+
+    caps = spec["caps"]
+    return ModelConfig(
+        max_ngv=caps["g_v_max"], max_ngvl=spec["nvl"],
+        max_nge=caps["g_e_max"] * 2, max_ngel=spec["nel"] * 2,
+        max_npv=caps["p_v_max"], max_npvl=spec["p_nvl"],
+        max_npe=caps["p_e_max"] * 2, max_npel=spec["p_nel"] * 2,
+        hid_dim=hid, rep_num_pattern_layers=3, rep_num_graph_layers=3,
+        pred_hid_dim=hid, filter_net="ScalarFilter",
+        pred_return_weights="nodeedge")
+
+
 def run(pairs: int, max_epochs: int, early_stop: int, bsz: int, lr: float,
         amp: bool, seed: int, probe_steps: int = 600, hid: int = 64,
-        log=print) -> dict:
+        family: str = "complex", log=print) -> dict:
     import jax
 
     from dualmessagepassing_tpu import build_model
@@ -43,23 +119,24 @@ def run(pairs: int, max_epochs: int, early_stop: int, bsz: int, lr: float,
     from dualmessagepassing_tpu.train import (
         BucketSampler, TrainState, evaluate_epoch, make_eval_step,
         make_optimizer, make_train_step, train_epoch)
-    from __graft_entry__ import _flagship_config
 
-    # --- planted Complex-envelope dataset (counts nonzero by construction)
+    spec = _family_spec(family)
     rng = np.random.default_rng(seed)
     t0 = time.perf_counter()
     def one_pair(i):
         # reject-resample the count tail: a planted pattern with many
-        # automorphisms can blow up to hundreds of matches, and a handful
-        # of such outliers dominates the MSE objective (the published
-        # Complex set's generator controls its count distribution too)
+        # automorphisms (or an unlabeled near-clique) can blow up to
+        # hundreds of matches, and a handful of such outliers dominates
+        # the MSE objective (the published sets' generators control
+        # their count distributions too)
         while True:
-            rec = generate_pair(rng, pv=8, pe=8, gv=64, ge=256,
-                                num_vlabels=16, num_elabels=16,
-                                p_v_max=8, p_e_max=8, g_v_max=64,
-                                g_e_max=256, pair_id=f"P{i}-G{i}",
-                                plant=int(rng.integers(0, 4)))
-            if rec["counts"] <= 60:
+            rec = generate_pair(rng, num_vlabels=spec["nvl"],
+                                num_elabels=spec["nel"],
+                                p_num_vlabels=spec["p_nvl"],
+                                p_num_elabels=spec["p_nel"],
+                                pair_id=f"P{i}-G{i}",
+                                **spec["caps"], **spec["sample"](rng))
+            if rec["counts"] <= spec["count_cap"]:
                 return rec
 
     data = [one_pair(i) for i in range(pairs)]
@@ -68,20 +145,14 @@ def run(pairs: int, max_epochs: int, early_stop: int, bsz: int, lr: float,
     dev_ds = GraphAdjDataset(data[pairs - 2 * n_dev: pairs - n_dev])
     test_ds = GraphAdjDataset(data[pairs - n_dev:])
     for ds in (train_ds, dev_ds, test_ds):
-        ds.add_reversed_edges(16, 16)   # train.py:1150-1158
+        ds.add_reversed_edges(spec["p_nel"], spec["nel"])  # train.py:1150-1158
     counts = [d["counts"] for d in data]
-    log(f"dataset: {pairs} pairs in {time.perf_counter() - t0:.1f}s; "
+    log(f"dataset[{family}]: {pairs} pairs in "
+        f"{time.perf_counter() - t0:.1f}s; "
         f"counts mean {np.mean(counts):.2f} max {max(counts)} "
         f"zero-frac {np.mean(np.asarray(counts) == 0):.2f}")
 
-    cfg = _flagship_config(add_rev=True)
-    if hid != 64:
-        # capacity-axis variant (round-4 follow-up): the data-scale
-        # hypothesis for held-out matching is settled negative at 4k and
-        # 16k pairs; --hid probes the model-capacity axis at the same
-        # recipe (reference width is 64 — config.py:232)
-        import dataclasses
-        cfg = dataclasses.replace(cfg, hid_dim=hid, pred_hid_dim=hid)
+    cfg = _family_model_config(spec, hid)
     model = build_model(cfg)
 
     # Trivial-predictor baselines (round-4 honesty fix): the gold
@@ -266,8 +337,8 @@ def run(pairs: int, max_epochs: int, early_stop: int, bsz: int, lr: float,
         "unit": "MAE",
         "config": {"pairs": pairs, "bsz": bsz, "lr": lr, "amp": amp,
                    "seed": seed, "max_epochs": max_epochs,
-                   "early_stop": early_stop, "hid": hid,
-                   "envelope": "Complex+rev (8V/8E pattern, 64V/512E graph)"},
+                   "early_stop": early_stop, "hid": hid, "family": family,
+                   "envelope": spec["envelope"]},
         "platform": jax.devices()[0].platform,
         "stopped_at_epoch": stopped_at,
         "final": {"dev_MAE": trajectory[-1]["dev_MAE"],
@@ -348,10 +419,14 @@ def matching_learned(trajectory, baselines=None, train_fit=None,
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    ap.add_argument("--family", default="complex",
+                    choices=["complex", "er", "mutag"],
+                    help="reference dataset family envelope (README.md:24-117)")
     ap.add_argument("--pairs", type=int, default=768)
     ap.add_argument("--max-epochs", type=int, default=60)
     ap.add_argument("--early-stop", type=int, default=5)
-    ap.add_argument("--bsz", type=int, default=128)
+    ap.add_argument("--bsz", type=int, default=None,
+                    help="default: the family's published batch size")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--amp", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
@@ -368,9 +443,11 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    result = run(args.pairs, args.max_epochs, args.early_stop, args.bsz,
+    bsz = args.bsz or _family_spec(args.family)["bsz"]
+    result = run(args.pairs, args.max_epochs, args.early_stop, bsz,
                  args.lr, bool(args.amp), args.seed,
-                 probe_steps=args.probe_steps, hid=args.hid)
+                 probe_steps=args.probe_steps, hid=args.hid,
+                 family=args.family)
     print(json.dumps({k: v for k, v in result.items() if k != "trajectory"}))
     if args.out:
         with open(args.out, "w") as f:
