@@ -475,6 +475,16 @@ def main(argv=None):
                 bad.append(f"{k}: expected {v}, got {got}")
         if not result["matching_learned"]["ok"]:
             bad.append(f"matching did not learn: {result['matching_learned']}")
+        with open(args.check) as f:
+            ref_ml = json.load(f).get("matching_learned", {})
+        if ref_ml.get("dev_beats_zero") and not (
+                result["matching_learned"].get("dev_beats_zero")):
+            # the pinned artifact proved HELD-OUT matching skill (dense-
+            # gold envelopes, e.g. ER — round 5); a rerun losing it is a
+            # capability regression, not jitter
+            bad.append("dev_beats_zero regressed: pinned artifact beat the "
+                       f"zero predictor, rerun did not "
+                       f"({result['matching_learned']})")
         if bad:
             print("CONVERGENCE GATE FAILED: " + "; ".join(bad))
             sys.exit(1)
