@@ -338,6 +338,33 @@ def plan_sk_arrays(recv_real: np.ndarray, v_env: int, e_env: int,
             "sk_first": plan["first"], "sk_recv": plan["recv_col"]}
 
 
+def plan_bcast_arrays(recv_real: np.ndarray, v_env: int, e_env: int,
+                      tile_e: int = DEFAULT_TILE_E,
+                      window: int = DEFAULT_WINDOW,
+                      prefix: str = "sb",
+                      with_recv: bool = False) -> Dict[str, np.ndarray]:
+    """build_bcast_plan -> the {prefix}_* key naming the model consumes.
+
+    One shard's worth of broadcast plan (the sharded twin of
+    plan_sk_arrays): `recv_real` is the real prefix of a receiver-sorted
+    stream, `v_env` the ROW ENVELOPE OF THE GATHER TABLE — under owner
+    sharding the composite [owned; halo; dump] table is LARGER than the
+    aggregation's [Vp] output, so the cols-gather plan (prefix='sbt')
+    carries its own v_env and, via `with_recv=True`, its own receiver
+    column whose pad slots map to THIS envelope's dump window (the
+    aggregation-envelope sk_recv would alias pad rows into real halo
+    rows)."""
+    bp = build_bcast_plan(np.asarray(recv_real), v_env, e_env=e_env,
+                          v_env=v_env, tile_e=tile_e, window=window)
+    out = {f"{prefix}_blk": bp["blk"], f"{prefix}_win": bp["win"],
+           f"{prefix}_first": bp["first"]}
+    if with_recv:
+        recv_col = np.full((bp["e_pad"], 1), bp["v_pad"], np.int32)
+        recv_col[: len(recv_real), 0] = np.asarray(recv_real, np.int64)
+        out[f"{prefix}_recv"] = recv_col
+    return out
+
+
 def segment_sum_windowed_arrays(messages, recv_col, blk, win, first,
                                 num_nodes: int,
                                 tile_e: int = DEFAULT_TILE_E,

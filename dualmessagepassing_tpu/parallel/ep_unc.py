@@ -36,7 +36,13 @@ from ..unc.model import UNCTrainModel
 # concatenated along axis 0 by attach_ep_scatter_plans so the same P('ep')
 # sharding hands each shard its own plan).
 EDGE_KEYS = ("senders", "receivers", "edge_type", "rev_flag", "edge_mask",
-             "edge_norm", "sk_blk", "sk_win", "sk_first", "sk_recv")
+             "edge_norm", "sk_blk", "sk_win", "sk_first", "sk_recv",
+             # round-5: per-shard twins of the round-4 single-device
+             # kernel plans (VERDICT r4 item 2) — sb_* = row-broadcast
+             # (forward receiver gather + aggregation backward gather),
+             # sk2_*/send_order = senders-sorted windowed cotangent
+             "sb_blk", "sb_win", "sb_first",
+             "sk2_blk", "sk2_win", "sk2_first", "sk2_recv", "send_order")
 
 
 def _shard_map(f, mesh, in_specs, out_specs):
@@ -79,7 +85,9 @@ def pad_e_max(e_max: int, n_devices: int) -> int:
 
 def attach_ep_scatter_plans(padded: Dict[str, np.ndarray], n_shards: int,
                             tile_e: Optional[int] = None,
-                            window: Optional[int] = None
+                            window: Optional[int] = None,
+                            bcast_plan: bool = False,
+                            sender_plan: bool = False
                             ) -> Dict[str, np.ndarray]:
     """Windowed-kernel pass plans for every contiguous edge slice shard_sub
     will create (host side, per batch).
@@ -90,8 +98,19 @@ def attach_ep_scatter_plans(padded: Dict[str, np.ndarray], n_shards: int,
     is valid; the model's per-shard partial aggregation is then completed
     by the existing [V, H] psum (unc/model.py ep_axis). Plan shapes depend
     only on (e_max/n_shards, v_max), so every batch of a run compiles to
-    one program."""
+    one program.
+
+    bcast_plan adds per-shard sb_* row-broadcast twin plans (forward
+    receiver gather from the replicated cols table + the aggregation's
+    backward gather through the Pallas kernel — the node table is full-V
+    replicated under ep-psum, so the single-device plan semantics apply
+    per slice verbatim). sender_plan adds the senders-sorted sk2_* twin
+    plus the per-shard local sort `send_order` (the sendwin cotangent);
+    the full slice including pad rows is treated as real, exactly as
+    attach_scatter_plan does single-device — pads carry zero cotangents.
+    (Round-5, VERDICT r4 item 2.)"""
     from ..ops.segment_kernel import (DEFAULT_TILE_E, DEFAULT_WINDOW,
+                                      build_pass_plan, plan_bcast_arrays,
                                       plan_sk_arrays)
 
     tile_e = tile_e or DEFAULT_TILE_E
@@ -102,13 +121,29 @@ def attach_ep_scatter_plans(padded: Dict[str, np.ndarray], n_shards: int,
     k = e_max // n_shards
     v_max = len(padded["node_mask"])
     recv = np.asarray(padded["receivers"])
+    send = np.asarray(padded["senders"])
     mask = np.asarray(padded["edge_mask"])
     parts = []
     for s in range(n_shards):
         m = mask[s * k: (s + 1) * k]
         n_real = int(m.sum())
-        parts.append(plan_sk_arrays(recv[s * k: s * k + n_real],
-                                    v_max, k, tile_e, window))
+        p = plan_sk_arrays(recv[s * k: s * k + n_real],
+                           v_max, k, tile_e, window)
+        if bcast_plan:
+            p.update(plan_bcast_arrays(recv[s * k: s * k + n_real],
+                                       v_max, k, tile_e, window))
+        if sender_plan:
+            order = np.argsort(send[s * k: (s + 1) * k],
+                               kind="stable").astype(np.int64)
+            p["send_order"] = order
+            p2 = build_pass_plan(send[s * k: (s + 1) * k][order], v_max,
+                                 e_env=k, v_env=v_max, tile_e=tile_e,
+                                 window=window)
+            p["sk2_blk"] = p2["blk"]
+            p["sk2_win"] = p2["win"]
+            p["sk2_first"] = p2["first"]
+            p["sk2_recv"] = p2["recv_col"]
+        parts.append(p)
     out = dict(padded)
     for key in parts[0]:
         out[key] = np.concatenate([p[key] for p in parts], axis=0)

@@ -401,19 +401,26 @@ def train_unc(
     # (build_halo_sub(scatter_plan=True)) — plans ride the sub pytree
     # through shard_map as traced arrays.
     windowed = scatter_backend == "windowed"
+    # the cotangent/broadcast kernels need the [V, 2H+1] table (padded)
+    # to fit one 128-lane tile; h_dim >= 64 pads past it and the model
+    # falls back to the sorted XLA paths
+    cols_fit_128 = 2 * h_dim + 1 <= 128
     if pad_cols is None:
-        pad_cols = not ep_devices
+        # auto: single-device always (+15% at V=65k, §8.7); sharded when
+        # the kernel composition can use the 128-lane table (round 5 —
+        # the r4 kernels now ride the sharded paths, VERDICT r4 item 2)
+        pad_cols = (not ep_devices) or (amp and windowed and cols_fit_128)
     mkw = dict(
         num_nodes=num_nodes, num_rels=num_rels, h_dim=h_dim,
         nlabel=0, num_hidden_layers=n_layers, dropout=dropout,
         reg_param=reg_param, node_attri=node_attri, backbone=backbone,
         sorted_edges=True, pad_cols=pad_cols,
         scatter_backend="windowed" if windowed else "xla")
-    if ep_devices and (endpoint_gather == "fused" or sender_windowed):
+    if ep_devices and endpoint_gather == "fused":
         raise ValueError(
-            "endpoint_gather='fused' / sender_windowed are single-device "
-            "cotangent levers (the sharded paths carry no global sort "
-            "keys); drop them or drop ep_devices")
+            "endpoint_gather='fused' is a single-device cotangent lever "
+            "(the sharded paths carry no global pair-sort keys); drop it "
+            "or drop ep_devices")
     if sender_windowed and not (amp and windowed and 2 * h_dim + 1 <= 128):
         # the model gates the sk2 path on bf16 + a windowed plan + the
         # table fitting one 128-lane tile — a silent no-op here would
@@ -425,24 +432,20 @@ def train_unc(
         raise ValueError(
             "endpoint_gather='fused' replaces BOTH endpoint gathers — "
             "sender_windowed would be dead; pick one")
-    # the cotangent/broadcast kernels need the [V, 2H+1] table (padded)
-    # to fit one 128-lane tile; h_dim >= 64 pads past it and the model
-    # falls back to the sorted XLA paths
-    cols_fit_128 = 2 * h_dim + 1 <= 128
     if recv_bcast is None:
-        # auto: every condition the model's sb gate needs (bf16 compute,
-        # windowed plan, 128-lane table, split endpoints, single device)
+        # auto: every condition the model's sb/sbt gates need (bf16
+        # compute, windowed plans, 128-lane table, split endpoints) —
+        # since round 5 the sharded builders attach per-shard plan twins,
+        # so ep/halo runs compose the r4 kernels too
         recv_bcast = bool(amp and windowed and pad_cols and cols_fit_128
-                          and not ep_devices
                           and endpoint_gather != "fused")
     elif recv_bcast and not (amp and windowed and pad_cols and cols_fit_128
-                             and not ep_devices
                              and endpoint_gather != "fused"):
         # a silent (partial) no-op would invalidate any A/B built on
         # this flag — the model's forward gate needs exactly 128 lanes
         raise ValueError(
             "recv_bcast requires amp=True, scatter_backend='windowed', "
-            "pad_cols, h_dim <= 63, split endpoints, and no ep_devices")
+            "pad_cols, h_dim <= 63, and split endpoints")
     if sender_windowed is None:
         # auto: sendwin only wins COMPOSED with recv_bcast (the round-3
         # dead-end mechanism was VMEM eviction of the gather tables,
@@ -465,13 +468,17 @@ def train_unc(
         if halo:
             dev, _meta = build_halo_sub(padded, ep_devices, vp_env, ep_env,
                                         b_env, method=ep_partition,
-                                        scatter_plan=windowed)
+                                        scatter_plan=windowed,
+                                        bcast_plan=recv_bcast,
+                                        sender_plan=sender_windowed)
             return dev
         if ep_mesh is not None:
             if windowed:
                 from ..parallel.ep_unc import attach_ep_scatter_plans
 
-                return attach_ep_scatter_plans(padded, ep_devices)
+                return attach_ep_scatter_plans(
+                    padded, ep_devices, bcast_plan=recv_bcast,
+                    sender_plan=sender_windowed)
             return padded
         if windowed:
             padded = attach_scatter_plan(padded,
@@ -624,7 +631,9 @@ def train_unc(
         def embed_step(vs, padded):
             dev, meta = build_halo_sub(padded, ep_devices, vp_env, ep_env,
                                        b_env, method=ep_partition,
-                                       scatter_plan=windowed)
+                                       scatter_plan=windowed,
+                                       bcast_plan=recv_bcast,
+                                       sender_plan=sender_windowed)
             out, _ = halo_fwd(vs, shard_halo_sub(ep_mesh, dev))
             return unshard_halo_nodes(meta, out[0])
     elif ep_mesh is not None:

@@ -276,6 +276,56 @@ def _take_rows_bcast_bwd(n_rows, out_dtype, res, g):
 _take_rows_bcast_p.defvjp(_take_rows_bcast_fwd, _take_rows_bcast_bwd)
 
 
+def _take_rows_bcast_sorted(table, idx, sb_recv, sb_blk, sb_win, sb_first,
+                            sorted_idx: bool = True):
+    """Windowed row-broadcast FORWARD with the sorted-XLA scatter
+    BACKWARD — the owner-sharded (halo) composition of the round-4
+    kernels (round-5, VERDICT r4 item 2).
+
+    Halo mode gathers from the composite [owned; halo; dump] table,
+    whose row envelope exceeds the aggregation's [Vp] — so the plan
+    (sbt_*, parallel/halo_unc.build_halo_sub(bcast_plan=True)) carries
+    its own receiver column sized to the TABLE envelope. The backward
+    keeps the sorted f32-accumulating XLA scatter: routing the halo
+    receiver cotangent through the windowed kernel was built and
+    measured a dead end in round 4 (54.9 -> 68.5 ms at V=65k — the
+    [E, 128] lane-pad copy trap; ARCHITECTURE §8.3 halo coda), while
+    the forward gather is exactly the kernel's HBM-resident win
+    (22.3 -> 4.4 ms at V=262k)."""
+    return _take_rows_bcast_sorted_p(table, idx, sb_recv, sb_blk, sb_win,
+                                     sb_first, sorted_idx, table.shape[0],
+                                     jnp.dtype(table.dtype).name)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _take_rows_bcast_sorted_p(table, idx, sb_recv, sb_blk, sb_win,
+                              sb_first, sorted_idx, n_rows, out_dtype):
+    from ..ops.segment_kernel import windowed_row_broadcast
+
+    return windowed_row_broadcast(
+        table, sb_recv, sb_blk, sb_win, sb_first)[: idx.shape[0]]
+
+
+def _take_rows_bcast_sorted_fwd(table, idx, sb_recv, sb_blk, sb_win,
+                                sb_first, sorted_idx, n_rows, out_dtype):
+    out = _take_rows_bcast_sorted_p(table, idx, sb_recv, sb_blk, sb_win,
+                                    sb_first, sorted_idx, n_rows, out_dtype)
+    return out, (idx, sb_recv, sb_blk, sb_win, sb_first)
+
+
+def _take_rows_bcast_sorted_bwd(sorted_idx, n_rows, out_dtype, res, g):
+    idx, sb_recv, sb_blk, sb_win, sb_first = res
+    out = jnp.zeros((n_rows, g.shape[-1]), jnp.float32).at[idx].add(
+        g.astype(jnp.float32), indices_are_sorted=sorted_idx)
+    zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    return (out.astype(out_dtype), zero(idx), zero(sb_recv), zero(sb_blk),
+            zero(sb_win), zero(sb_first))
+
+
+_take_rows_bcast_sorted_p.defvjp(_take_rows_bcast_sorted_fwd,
+                                 _take_rows_bcast_sorted_bwd)
+
+
 def _onehot_rows(table, idx, clip: bool = False):
     """Tiny-table row lookup as one_hot(idx) @ table.
 
@@ -496,39 +546,55 @@ class DualGraphConv(nn.Module):
             at_send = jax.lax.optimization_barrier(rows[:n_e])
             at_recv = jax.lax.optimization_barrier(rows[n_e:])
         else:
-            if ("sk2_blk" in sub and self.ep_axis is None
+            if ("sk2_blk" in sub and "send_order" in sub
                     and cols.dtype == jnp.bfloat16
                     and cols.shape[1] <= 128):
                 # windowed sender cotangent over the senders-sorted twin
-                # plan (attach_scatter_plan(sender_plan=True); §8.3
-                # large-V recipe — measure before shipping, the permute
-                # materialization loses at VMEM-resident table sizes)
+                # plan. Single-device: attach_scatter_plan(sender_plan=
+                # True). Sharded (round-5, VERDICT r4 item 2): the
+                # builders attach PER-SHARD twins — ep-psum plans over
+                # each slice's local sort (full-V output, completed by
+                # shard_map's transpose psum), halo plans over the
+                # composite-table index space (sk2 v_env = [owned; halo;
+                # dump] rows).
                 at_send = _take_rows_win_perm(
                     cols, senders, sub["send_order"], sub["sk2_recv"],
                     sub["sk2_blk"], sub["sk2_win"], sub["sk2_first"])
             elif "send_order" in sub and self.ep_axis is None:
                 # host-precomputed sender sort (pad_subgraph): sorted fast
-                # path on the sender-side cotangent scatter; sharded subs
-                # carry no sort keys (the indices would be global)
+                # path on the sender-side cotangent scatter (the sharded
+                # builders attach send_order only alongside sk2_* plans)
                 at_send = _take_rows_perm(cols, senders, sub["send_order"],
                                           sub["senders_sorted"])
             else:
                 at_send = _take_rows(cols, senders)
             at_send = jax.lax.optimization_barrier(at_send)
-            # receiver cotangent backend: the windowed kernel in its bf16
-            # single-pass mode when amp'd and single-device (its only new
-            # buffer is a bf16 [E, 128] lane-pad — strictly smaller than
-            # the f32 [E, 2H+1] convert the sorted scatter needs, so the
-            # VMEM eviction that killed the f32 variant cannot trigger;
-            # §8.3 post-mortem). f32 and sharded paths keep the sorted
-            # scatter.
-            if (self.ep_axis is None and cols.dtype == jnp.bfloat16
+            # receiver backend: the windowed kernels in their bf16 modes
+            # when the driver attached the matching plans; f32 and
+            # plan-less paths keep the sorted scatter.
+            bf16_full = (cols.dtype == jnp.bfloat16
+                         and cols.shape[1] == 128)
+            if owner_sharded and "sbt_blk" in sub and bf16_full:
+                # halo: windowed row-broadcast FORWARD from the composite
+                # [owned; halo; dump] table on its own-envelope plan
+                # (build_halo_sub(bcast_plan=True)); backward stays the
+                # sorted XLA scatter — the windowed receiver COTANGENT
+                # was measured a dead end here (round 4: 54.9 -> 68.5 ms,
+                # §8.3 halo coda), while the forward gather is the
+                # kernel's HBM-resident large-V win.
+                at_recv = _take_rows_bcast_sorted(
+                    cols, receivers, sub["sbt_recv"], sub["sbt_blk"],
+                    sub["sbt_win"], sub["sbt_first"],
+                    sorted_idx=self.sorted_edges)
+            elif (not owner_sharded and bf16_full
                     and _use_windowed(self, sub, cols.shape[1])
-                    and "sb_blk" in sub and cols.shape[1] == 128):
+                    and "sb_blk" in sub):
                 # windowed forward AND backward: the row-broadcast kernel
                 # streams the table through VMEM (the §8.3 large-V HBM
-                # gather lever; opt-in by bcast-plan presence —
-                # attach_scatter_plan(bcast_plan=True); needs pad_cols)
+                # gather lever). Single-device via attach_scatter_plan(
+                # bcast_plan=True); ep-psum via per-shard sb twins (the
+                # cols table is full-V replicated, so the single-device
+                # plan semantics hold per slice).
                 at_recv = _take_rows_bcast(
                     cols, receivers, sub["sk_recv"], sub["sk_blk"],
                     sub["sk_win"], sub["sk_first"], sub["sb_blk"],
@@ -542,13 +608,6 @@ class DualGraphConv(nn.Module):
                                          sub["sk_blk"], sub["sk_win"],
                                          sub["sk_first"])
             else:
-                # owner-sharded included: routing the receiver cotangent
-                # through the windowed kernel on the per-shard plan was
-                # BUILT and MEASURED a dead end (round 4, 1-device mesh:
-                # 54.9 -> 68.5 ms at width 101 — the [E, 128] lane-pad
-                # copy trap — and 58.8 with pad_cols; the halo layout's
-                # sorted scatter into the [owned; halo; dump] table is
-                # already the winner). ARCHITECTURE §8.3 halo coda.
                 at_recv = _take_rows(cols, receivers,
                                      sorted_idx=self.sorted_edges)
             at_recv = jax.lax.optimization_barrier(at_recv)
