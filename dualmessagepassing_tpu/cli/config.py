@@ -139,8 +139,10 @@ def add_train_config(parser):
     # TPU-first extension: lax.scan the batch as N equal microbatches
     # inside ONE jitted step (same gradient; keeps each chunk's
     # activations in VMEM — large-batch HBM-spill lever, ARCHITECTURE.md
-    # §8.5). Batch size must be divisible by it.
-    g.add_argument("--train_microbatch_chunks", type=int, default=1)
+    # §8.5). Batch size must be divisible by it. 0 (default) =
+    # auto-select ~128-pair chunks from the batch size — the measured
+    # best at every batch (§8.5 sweep); 1 = never chunk.
+    g.add_argument("--train_microbatch_chunks", type=int, default=0)
     # TPU-first extension (SURVEY §2.4 DP row; the reference is strictly
     # single-device): shard each pair batch over N devices on a 'dp' mesh
     # axis — params replicated, gradient psum inserted by GSPMD.

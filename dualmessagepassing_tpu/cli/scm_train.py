@@ -225,8 +225,8 @@ def main(argv=None):
                                  config["match_weights"],
                                  eval_metric=config["eval_metric"],
                                  amp=config.get("amp", False),
-                                 accum_chunks=config.get(
-                                     "train_microbatch_chunks", 1),
+                                 accum_chunks=(config.get(
+                                     "train_microbatch_chunks", 0) or None),
                                  mesh=mesh)
     eval_step = make_eval_step(model)
 

