@@ -18,12 +18,10 @@ python -m dualmessagepassing_tpu.cli.unc_evaluate \\
 from __future__ import annotations
 
 import argparse
-import json
 
 
 def main(argv=None):
     from ..unc.evaluate import load_emb_dict, lp_evaluate, nc_evaluate
-    from ..utils.io import str2bool
 
     p = argparse.ArgumentParser("unc-evaluate")
     p.add_argument("--task", type=str, required=True,
@@ -32,17 +30,27 @@ def main(argv=None):
     p.add_argument("--label_file", type=str, default="")
     p.add_argument("--label_test_file", type=str, default="")
     p.add_argument("--link_test_file", type=str, default="")
-    p.add_argument("--supervised", type=str2bool, default=False)
+    # the reference restricts these to the literal strings True/False
+    # (evaluate.py:36-42); free-form values used to fall through
+    # str2bool to a silent False — a clean parser error beats that
+    p.add_argument("--supervised", type=str, default="False",
+                   choices=["True", "False"])
     p.add_argument("--multi", type=str, default="auto",
+                   choices=["auto", "True", "False"],
                    help="multi-label nc (the reference's Yelp protocol); "
                         "auto = True iff --dataset Yelp")
-    p.add_argument("--record_file", type=str, default="")
+    p.add_argument("--record_file", type=str, default="",
+                   help="default with --dataset: "
+                        "{data_folder}/{dataset}/record.dat, the "
+                        "reference's path and multi-line text format "
+                        "(evaluate.py:66-80)")
     # reference-command compatibility (evaluate.py:14-47): --dataset and
     # --model derive the HNE folder-layout default paths for any file
     # flag left empty
     p.add_argument("--dataset", type=str, default="")
     p.add_argument("--model", type=str, default="")
     p.add_argument("--attributed", type=str, default="False",
+                   choices=["True", "False"],
                    help="accepted for reference-command compatibility "
                         "(recorded in --record_file lines only)")
     p.add_argument("--data_folder", type=str, default="../Data",
@@ -50,6 +58,7 @@ def main(argv=None):
                         "(the reference hardcodes ../Data)")
     p.add_argument("--model_folder", type=str, default="../Model")
     args = p.parse_args(argv)
+    args.supervised = args.supervised == "True"
 
     # HNE-layout path derivation (reference evaluate.py:117-133)
     if not args.emb_file:
@@ -69,7 +78,10 @@ def main(argv=None):
                                    "link.dat.test")
     # Yelp = multi-label single-class protocol (node_classification.py:18-29)
     args.multi = (args.dataset == "Yelp" if args.multi == "auto"
-                  else str2bool(args.multi))
+                  else args.multi == "True")
+    if not args.record_file and args.dataset:
+        # reference default record path (evaluate.py:7,68-71)
+        args.record_file = f"{args.data_folder}/{args.dataset}/record.dat"
 
     emb_dict = load_emb_dict(args.emb_file)
     results = {}
@@ -88,13 +100,33 @@ def main(argv=None):
         results["lp"] = {"AUC": auc, "MRR": mrr}
         print(f"AUC={auc:.4f}, MRR={mrr:.4f}")
     if args.record_file:
-        meta = {"emb_file": args.emb_file}
-        if args.dataset:
-            meta.update(dataset=args.dataset, model=args.model,
-                        attributed=args.attributed,
-                        supervised=str(args.supervised))
-        with open(args.record_file, "a") as f:
-            f.write(json.dumps({**meta, **results}) + "\n")
+        # byte-compatible with the reference's record() (evaluate.py:
+        # 66-80): one 4-line block per task — header, the emb.dat
+        # training-parameter line, the scores line, a blank line
+        try:
+            with open(args.emb_file) as f:
+                train_para = f.readline().rstrip("\n")
+        except OSError:
+            train_para = ""
+        try:
+            with open(args.record_file, "a") as f:
+                for task, scores in results.items():
+                    f.write(f"model={args.model}, task={task}, "
+                            f"attributed={args.attributed}, "
+                            f"supervised={args.supervised}\n")
+                    f.write(f"{train_para}\n")
+                    if task == "nc":
+                        f.write(f"Macro-F1={scores['Macro-F1']:.4f}, "
+                                f"Micro-F1={scores['Micro-F1']:.4f}\n")
+                    else:
+                        f.write(f"AUC={scores['AUC']:.4f}, "
+                                f"MRR={scores['MRR']:.4f}\n")
+                    f.write("\n")
+        except OSError as e:
+            # the DEFAULT path is derived from --dataset (reference
+            # layout); a missing ../Data/{dataset}/ dir shouldn't void
+            # an eval that already printed its scores
+            print(f"record skipped ({e})")
     return results
 
 
