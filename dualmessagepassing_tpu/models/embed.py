@@ -41,16 +41,32 @@ def _apply_table(table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     gather it replaces — TPU's default bf16 matmul precision would round
     the f32 values; bf16x3 emulation on these small tables is noise.
     """
+    import os
+
+    # SCM_TABLE_PAD128=1 (round-5 A/B, VERDICT r4 item 5): zero-pad the
+    # table's feature lanes to a 128 multiple before the contraction and
+    # slice after — probes whether explicit lane alignment helps the SCM
+    # step's table matmuls the way pad_cols helped the UNC endpoint
+    # gathers. Read at TRACE time so scripts/scm_pad128_ab.py can build
+    # both programs in one process.
+    def _maybe_pad(t):
+        d = t.shape[1]
+        if os.environ.get("SCM_TABLE_PAD128") == "1" and d % 128:
+            return jnp.pad(t, ((0, 0), (0, 128 - d % 128))), d
+        return t, d
+
     if jnp.issubdtype(x.dtype, jnp.integer):
         n = table.shape[0]
         if n <= 2048:  # consistent with ops/scatter._DENSE_V_LIMIT
             oh = jax.nn.one_hot(jnp.clip(x, 0, n - 1), n, dtype=table.dtype)
             prec = ("highest"
                     if jnp.dtype(table.dtype) == jnp.float32 else None)
-            return jnp.matmul(oh, table, precision=prec)
+            table, d = _maybe_pad(table)
+            return jnp.matmul(oh, table, precision=prec)[..., :d]
         return table[x]
     if x.shape[-1] == table.shape[0]:
-        return x @ table
+        table, d = _maybe_pad(table)
+        return (x @ table)[..., :d]
     raise ValueError(
         f"embedding input last dim {x.shape[-1]} != num_embeddings {table.shape[0]}"
     )

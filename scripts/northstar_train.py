@@ -62,7 +62,12 @@ def run(v: int, e: int, steps: int, shards: int, batch: int = 10_000,
         depth: int = 3, width: int = 10, h_dim: int = 50, layers: int = 2,
         negative_rate: int = 5, amp: bool = True, partition: str = "degree",
         edge_slack: float = 1.5, seed: int = 0, prefetch: int = 2,
-        lr: float = 1e-2, log=print) -> dict:
+        lr: float = 1e-2, r5_kernels: bool = True, log=print) -> dict:
+    # r5_kernels (round 5, VERDICT r4 item 2): the sharded composition of
+    # the round-4 kernels — pad_cols 128-lane tables + sbt row-broadcast
+    # forward receiver gather + sk2 sendwin cotangent + sb aggregation-
+    # backward broadcast, all via per-owner plan twins
+    # (build_halo_sub(bcast_plan=True, sender_plan=True))
     jax = _setup_jax(shards)
     import jax.numpy as jnp
     from jax.sharding import Mesh
@@ -111,9 +116,10 @@ def run(v: int, e: int, steps: int, shards: int, batch: int = 10_000,
     log(f"envelope: v_max={v_max} e_max={e_max} "
         f"(per-shard Vp={vp_env} Ep={ep_env} B={b_env})")
 
+    r5 = bool(r5_kernels and amp and 2 * h_dim + 1 <= 128)
     mkw = dict(num_nodes=v, num_rels=4, h_dim=h_dim, nlabel=0,
                num_hidden_layers=layers, dropout=0.2, reg_param=0.01,
-               backbone="DMPNN", sorted_edges=True,
+               backbone="DMPNN", sorted_edges=True, pad_cols=r5,
                scatter_backend="windowed")
     model = UNCTrainModel(ep_axis="ep", node_sharding="owner", **mkw)
     init_model = UNCTrainModel(**mkw)
@@ -125,7 +131,8 @@ def run(v: int, e: int, steps: int, shards: int, batch: int = 10_000,
         nv = int(padded["node_mask"].sum())
         ne = int(padded["edge_mask"].sum())
         dev, _meta = build_halo_sub(padded, shards, vp_env, ep_env, b_env,
-                                    method=partition, scatter_plan=True)
+                                    method=partition, scatter_plan=True,
+                                    bcast_plan=r5, sender_plan=r5)
         return dev, nv, ne
 
     mesh = Mesh(np.asarray(jax.devices()[:shards]), ("ep",))
@@ -233,6 +240,7 @@ def run(v: int, e: int, steps: int, shards: int, batch: int = 10_000,
         "envelope": {"v_max": v_max, "e_max": e_max, "vp": vp_env,
                      "ep": ep_env, "b": b_env},
         "shards": shards, "backend": "windowed", "amp": bool(amp),
+        "r5_kernels": r5,
         "partition": partition, "steps": steps,
         "losses": [round(x, 4) for x in losses],
         "loss_first": round(losses[0], 4),
@@ -262,12 +270,15 @@ def main(argv=None):
     ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--amp", type=int, default=1)
     ap.add_argument("--partition", default="degree")
+    ap.add_argument("--r5-kernels", type=int, default=1,
+                    help="sharded round-4 kernel composition (pad_cols + "
+                         "sbt/sk2/sb plan twins); 0 = round-3 composition")
     ap.add_argument("--out", default=None, help="also write JSON here")
     args = ap.parse_args(argv)
     result = run(args.v, args.e, args.steps, args.shards, batch=args.batch,
                  depth=args.depth, width=args.width, h_dim=args.h_dim,
                  layers=args.layers, amp=bool(args.amp),
-                 partition=args.partition)
+                 partition=args.partition, r5_kernels=bool(args.r5_kernels))
     line = json.dumps(result)
     print(line)
     if args.out:

@@ -146,14 +146,21 @@ def main():
         mesh = Mesh(np.asarray(jax.devices()[:1]), ("ep",))
         vp, epv, b = halo_envelope(V, E, 1)
         plain_vars = None
-        for variant, windowed, amp in [("halo_windowed_amp", True, True),
-                                       ("halo_xla_amp", False, True)]:
+        # halo_r5_kernels = the round-5 sharded composition (VERDICT r4
+        # item 2): pad_cols + sbt row-broadcast forward receiver gather
+        # + sk2 sendwin cotangent + sb aggregation-backward broadcast
+        for variant, windowed, amp, r5 in [
+                ("halo_windowed_amp", True, True, False),
+                ("halo_r5_kernels", True, True, True),
+                ("halo_xla_amp", False, True, False)]:
             dev, _meta = build_halo_sub(sub_np, 1, vp, epv, b,
-                                        scatter_plan=windowed)
+                                        scatter_plan=windowed,
+                                        bcast_plan=r5, sender_plan=r5)
             mkw = dict(num_nodes=V, num_rels=R, h_dim=H, nlabel=0,
                        num_hidden_layers=args.layers, dropout=0.2,
                        reg_param=0.01, backbone="DMPNN", sorted_edges=True,
-                       pad_cols=os.environ.get("HALO_PADCOLS", "0") == "1",
+                       pad_cols=(r5 or os.environ.get(
+                           "HALO_PADCOLS", "0") == "1"),
                        scatter_backend="windowed" if windowed else "xla")
             halo_model = UNCTrainModel(ep_axis="ep", node_sharding="owner",
                                        **mkw)
