@@ -45,6 +45,13 @@ def test_er_artifact_pins_dev_beats_zero():
     # margins as measured on chip (0.52 / 0.76) with generous headroom
     assert ml["dev_MNED_vs_zero"] < 0.8, ml
     assert ml["dev_MEED_vs_zero"] < 0.95, ml
+    # MUTAG-like envelope (intermediate gold-weight density): also
+    # beats the zero predictor on chip (MNED 0.65x / MEED 0.92x)
+    with open(ROOT / "SCM_CONVERGENCE_MUTAG.json") as f:
+        mutag = json.load(f)
+    assert mutag["config"]["family"] == "mutag"
+    assert mutag["matching_learned"]["dev_beats_zero"]
+    assert mutag["matching_learned"]["dev_MNED_vs_zero"] < 0.85
     # the Complex artifact stays the documented negative (regime, not
     # machinery): its floor ratios must still be recorded honestly
     with open(ROOT / "SCM_CONVERGENCE.json") as f:
