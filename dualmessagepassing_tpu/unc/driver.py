@@ -406,10 +406,13 @@ def train_unc(
     # falls back to the sorted XLA paths
     cols_fit_128 = 2 * h_dim + 1 <= 128
     if pad_cols is None:
-        # auto: single-device always (+15% at V=65k, §8.7); sharded when
+        # auto: single-device always (+15% at V=65k, §8.7); ep-psum when
         # the kernel composition can use the 128-lane table (round 5 —
-        # the r4 kernels now ride the sharded paths, VERDICT r4 item 2)
-        pad_cols = (not ep_devices) or (amp and windowed and cols_fit_128)
+        # the r4 kernels ride the sharded paths, VERDICT r4 item 2);
+        # halo stays unpadded with its default no-kernel composition
+        # (the r5 halo A/B lost at V=65k — see recv_bcast auto below)
+        pad_cols = (not ep_devices) or (
+            ep_mode != "halo" and amp and windowed and cols_fit_128)
     mkw = dict(
         num_nodes=num_nodes, num_rels=num_rels, h_dim=h_dim,
         nlabel=0, num_hidden_layers=n_layers, dropout=dropout,
@@ -434,10 +437,18 @@ def train_unc(
             "sender_windowed would be dead; pick one")
     if recv_bcast is None:
         # auto: every condition the model's sb/sbt gates need (bf16
-        # compute, windowed plans, 128-lane table, split endpoints) —
-        # since round 5 the sharded builders attach per-shard plan twins,
-        # so ep/halo runs compose the r4 kernels too
+        # compute, windowed plans, 128-lane table, split endpoints).
+        # Since round 5 the sharded builders attach per-shard plan twins,
+        # so ep-psum runs compose the r4 kernels too (per-shard program
+        # == the measured single-device winner). HALO stays OFF by
+        # default: the on-chip 1-device A/B (scripts/unc_step_bench.py
+        # --halo-only) measured the r5 composition 54.9 -> 64.8 ms at
+        # V=65k and neutral (315.6 -> 315.2) at V=262k — the owner-
+        # sharded sorted scatter into the composite table remains the
+        # winner (ARCHITECTURE §8.3 halo coda, round 5); explicit
+        # recv_bcast=True overrides.
         recv_bcast = bool(amp and windowed and pad_cols and cols_fit_128
+                          and not halo
                           and endpoint_gather != "fused")
     elif recv_bcast and not (amp and windowed and pad_cols and cols_fit_128
                              and endpoint_gather != "fused"):

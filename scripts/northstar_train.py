@@ -62,7 +62,7 @@ def run(v: int, e: int, steps: int, shards: int, batch: int = 10_000,
         depth: int = 3, width: int = 10, h_dim: int = 50, layers: int = 2,
         negative_rate: int = 5, amp: bool = True, partition: str = "degree",
         edge_slack: float = 1.5, seed: int = 0, prefetch: int = 2,
-        lr: float = 1e-2, r5_kernels: bool = True, log=print) -> dict:
+        lr: float = 1e-2, r5_kernels: bool = False, log=print) -> dict:
     # r5_kernels (round 5, VERDICT r4 item 2): the sharded composition of
     # the round-4 kernels — pad_cols 128-lane tables + sbt row-broadcast
     # forward receiver gather + sk2 sendwin cotangent + sb aggregation-
@@ -270,9 +270,12 @@ def main(argv=None):
     ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--amp", type=int, default=1)
     ap.add_argument("--partition", default="degree")
-    ap.add_argument("--r5-kernels", type=int, default=1,
+    ap.add_argument("--r5-kernels", type=int, default=0,
                     help="sharded round-4 kernel composition (pad_cols + "
-                         "sbt/sk2/sb plan twins); 0 = round-3 composition")
+                         "sbt/sk2/sb plan twins). Default 0 = the shipped "
+                         "round-3 halo composition: the on-chip 1-device "
+                         "A/B measured r5 54.9->64.8 ms at V=65k and "
+                         "neutral at 262k (unc_step_bench --halo-only)")
     ap.add_argument("--out", default=None, help="also write JSON here")
     args = ap.parse_args(argv)
     result = run(args.v, args.e, args.steps, args.shards, batch=args.batch,
