@@ -195,16 +195,64 @@ def _eval_embs(embs: np.ndarray, labels: np.ndarray, lp_lines, tag, log,
 
 
 def _eval_embs_multi(embs: np.ndarray, mem: np.ndarray, lp_lines, tag,
-                     log, nc_cap: int | None = None):
+                     log, nc_cap: int | None = None, fast: bool = False):
     """Multi-label twin of _eval_embs: the reference's merged-file 5-fold
     per-class binary-F1 protocol (node_classification.py:147-196) over
-    temp label files in the Yelp format (index\t_\tnclass\tlabels)."""
+    temp label files in the Yelp format (index\t_\tnclass\tlabels).
+
+    fast=True (CHANCE-LEVEL BASELINES ONLY): per-class 5-fold ovr
+    LinearSVC at fixed C=1 instead of the crammer_singer C binary
+    search. Measured: liblinear's crammer_singer at the search's
+    C=10^n_cls edge costs ~32 s PER FIT on non-separable embeddings
+    (max_iter=300 does not bound it the same way) — the tuner plus
+    30 tuned final fits put one baseline eval at hours. A chance-level
+    F1 is C-insensitive; the full reference protocol always runs on
+    the trained/supervised arms."""
     from dualmessagepassing_tpu.unc.evaluate import lp_evaluate, nc_evaluate
 
     ids = np.arange(len(mem))
     if nc_cap is not None and len(ids) > nc_cap:
         rng = np.random.default_rng(99)
         ids = np.sort(rng.permutation(len(mem))[:nc_cap])
+    if fast:
+        from sklearn.metrics import f1_score
+        from sklearn.model_selection import StratifiedKFold
+        from sklearn.svm import LinearSVC
+
+        y = mem[ids].astype(np.int64)
+        x = embs[ids]
+        scores, weights = [], []
+        for c_i in range(y.shape[1]):
+            col = y[:, c_i]
+            if col.sum() in (0, len(col)):
+                continue
+            folds = []
+            skf = StratifiedKFold(n_splits=5, shuffle=True, random_state=1)
+            for tr, te in skf.split(x, col):
+                clf = LinearSVC(random_state=1, max_iter=300, C=1.0)
+                clf.fit(x[tr], col[tr])
+                folds.append(f1_score(col[te], clf.predict(x[te]),
+                                      average="binary", zero_division=0))
+            scores.append(np.mean(folds))
+            weights.append(col.sum())
+        sc = np.asarray(scores, np.float64)
+        w = np.asarray(weights, np.float64)
+        emb_dict = {str(i): embs[i] for i in range(len(embs))}
+        with tempfile.NamedTemporaryFile("w", suffix=".dat",
+                                         delete=False) as f:
+            f.write("\n".join(lp_lines))
+            lp_path = f.name
+        try:
+            auc, mrr = lp_evaluate(lp_path, emb_dict)
+        finally:
+            os.unlink(lp_path)
+        out = {"macro_f1": round(float(sc.mean()), 6),
+               "micro_f1": round(float((sc * w).sum() / w.sum()), 6),
+               "lp_auc": round(float(auc), 6),
+               "lp_mrr": round(float(mrr), 6),
+               "protocol": "fast_baseline_c1"}
+        log(f"{tag}: {out}")
+        return out
     lines = ["%d\t_\t0\t%s" % (i, ",".join(map(str, np.flatnonzero(mem[i]))))
              for i in ids]
     emb_dict = {str(i): embs[i] for i in range(len(embs))}
@@ -450,14 +498,15 @@ def run_eval(scale: str, seed: int, lp_frac: float, state_path: str,
     embs, embs_u = st["embs"], st["embs_u"]
 
     ev = _eval_embs_multi if p.get("multilabel") else _eval_embs
+    base_kw = ({"fast": True} if p.get("multilabel") else {})
     trained = ev(embs, labels, lp_lines, "trained", log)
     untrained = ev(embs_u, labels, lp_lines, "untrained", log,
-                   nc_cap=4000)
+                   nc_cap=4000, **base_kw)
     # random-embedding baseline (no device needed — generated here)
     embs_r = np.random.default_rng(seed + 7).normal(
         size=embs.shape).astype(np.float32)
     random_b = ev(embs_r, labels, lp_lines, "random", log,
-                  nc_cap=4000)
+                  nc_cap=4000, **base_kw)
 
     sup = None
     if "sup_out" in st.files and p.get("multilabel"):
