@@ -324,6 +324,15 @@ SCALES = {
                   n_layers=2, n_epochs=4, graph_batch_size=256,
                   graph_split_size=0.9, sample_width=6, sample_depth=2,
                   sup_label_frac=0.5),
+    # PubMed-node-count multi-label variant (round-5 stretch): C=8 keeps
+    # the reference tuner's 2C-1-round crammer_singer C search tractable
+    # (Yelp's C=16 costs 31 rounds; C=40 would cost 79)
+    "pubmed_multi": dict(V=20000, E=240000, C=8, R=4, noise=0.15,
+                         h_dim=50, n_layers=2, n_epochs=24,
+                         graph_batch_size=4096, graph_split_size=0.9,
+                         sample_width=6, sample_depth=2,
+                         sup_label_frac=0.5, multilabel=True, overlap=0.3,
+                         attr_flip=0.4),
     # multi-label smoke twin (harness wiring for the Yelp protocol +
     # attributed supervised arm; no quality claim)
     "multi_smoke": dict(V=300, E=3600, C=3, R=2, noise=0.1, h_dim=16,
