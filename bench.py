@@ -487,8 +487,9 @@ def main_unc():
         if a_dev:
             out["anchor_step_ms"] = round(a_dev, 3)
             out["vs_baseline_in_session"] = round(a_dev / step_ms, 3)
-    out.update(_drift_vs_pinned(eps, "BENCH_UNC_r04.json",
-                                "unc_train_edges_per_sec"))
+    if v == 65536 and e == 524288:  # drift only vs the SAME envelope
+        out.update(_drift_vs_pinned(eps, "BENCH_UNC_r04.json",
+                                    "unc_train_edges_per_sec"))
     if err:
         out["error"] = err
     print(json.dumps(out))

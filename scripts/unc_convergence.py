@@ -327,12 +327,20 @@ SCALES = {
     # PubMed-node-count multi-label variant (round-5 stretch): C=8 keeps
     # the reference tuner's 2C-1-round crammer_singer C search tractable
     # (Yelp's C=16 costs 31 rounds; C=40 would cost 79)
+    # nc_cap_all + nc_fast_all: the merged-file crammer_singer protocol
+    # is intractable at this scale in this environment (a single high-C
+    # fit measured 550 s at 20k rows and ~60 s at the 6k cap; the tuner
+    # runs ~1200 of them) — ALL arms evaluate with the fast fixed-C ovr
+    # per-class protocol on the same 6k-row subsample, recorded per
+    # block as protocol=fast_baseline_c1. The full-reference-protocol
+    # pin lives at the V=2000 'multi' scale.
     "pubmed_multi": dict(V=20000, E=240000, C=8, R=4, noise=0.15,
-                         h_dim=50, n_layers=2, n_epochs=24,
+                         h_dim=50, n_layers=2, n_epochs=48,
                          graph_batch_size=4096, graph_split_size=0.9,
                          sample_width=6, sample_depth=2,
                          sup_label_frac=0.5, multilabel=True, overlap=0.3,
-                         attr_flip=0.4),
+                         attr_flip=0.4, nc_cap_all=6000,
+                         nc_fast_all=True),
     # multi-label smoke twin (harness wiring for the Yelp protocol +
     # attributed supervised arm; no quality claim)
     "multi_smoke": dict(V=300, E=3600, C=3, R=2, noise=0.1, h_dim=16,
@@ -508,7 +516,13 @@ def run_eval(scale: str, seed: int, lp_frac: float, state_path: str,
 
     ev = _eval_embs_multi if p.get("multilabel") else _eval_embs
     base_kw = ({"fast": True} if p.get("multilabel") else {})
-    trained = ev(embs, labels, lp_lines, "trained", log)
+    cap_all = p.get("nc_cap_all")
+    trained_kw = {}
+    if cap_all:
+        trained_kw["nc_cap"] = cap_all
+    if p.get("nc_fast_all"):
+        trained_kw["fast"] = True
+    trained = ev(embs, labels, lp_lines, "trained", log, **trained_kw)
     untrained = ev(embs_u, labels, lp_lines, "untrained", log,
                    nc_cap=4000, **base_kw)
     # random-embedding baseline (no device needed — generated here)
