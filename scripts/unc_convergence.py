@@ -334,7 +334,15 @@ SCALES = {
     # per-class protocol on the same 6k-row subsample, recorded per
     # block as protocol=fast_baseline_c1. The full-reference-protocol
     # pin lives at the V=2000 'multi' scale.
-    "pubmed_multi": dict(V=20000, E=240000, C=8, R=4, noise=0.15,
+    # REGIME PROBE scale (UNC_MULTI_SCALE_PROBE.json): at V=20k the
+    # unsupervised arm sits at chance at converged loss under this
+    # generator — probed at C=8 (2500-member communities), C=8/48
+    # epochs, and C=40 (the community size that fixed single-label
+    # pubmed); the overlap + uniform-cross dilution is the
+    # differentiating generator property. The attributed supervised arm
+    # generalizes at every probed point. The multi-label quality PIN is
+    # the V=2000 'multi' scale (full reference protocol).
+    "pubmed_multi": dict(V=20000, E=240000, C=40, R=4, noise=0.15,
                          h_dim=50, n_layers=2, n_epochs=48,
                          graph_batch_size=4096, graph_split_size=0.9,
                          sample_width=6, sample_depth=2,
