@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--e", type=int, default=524288)
     ap.add_argument("--h", type=int, default=50)
     ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--halo-only", action="store_true",
+                    help="skip the flat variants (implies --halo)")
     ap.add_argument("--halo", action="store_true",
                     help="ALSO time the owner-sharded halo step (windowed"
                          "+amp and xla+amp) on a 1-device mesh — the halo"
@@ -74,7 +76,7 @@ def main():
     out = {}
     # (name, sorted_edges, windowed, amp) — amp rows measure the bf16
     # backbone (unc.model.apply_unc_forward) against the f32 rows
-    variants = [
+    variants = [] if args.halo_only else [
         ("unsorted", False, False, False),
         ("sorted", True, False, False),
         ("windowed", True, True, False),
@@ -131,7 +133,7 @@ def main():
         out[key] = {"device_ms": None if ms is None else round(ms, 3),
                     "flops": float(ca.get("flops", float("nan")))}
         print(json.dumps({key: out[key]}), flush=True)
-    if args.halo:
+    if args.halo or args.halo_only:
         # Owner-sharded halo step on a 1-device mesh: the single-chip cost
         # of the halo machinery itself (shard_map + degenerate all_to_all +
         # loss all_gather) against the flat variants above. Multi-shard
