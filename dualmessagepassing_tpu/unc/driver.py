@@ -409,10 +409,13 @@ def train_unc(
         # auto: single-device always (+15% at V=65k, §8.7); ep-psum when
         # the kernel composition can use the 128-lane table (round 5 —
         # the r4 kernels ride the sharded paths, VERDICT r4 item 2);
-        # halo stays unpadded with its default no-kernel composition
-        # (the r5 halo A/B lost at V=65k — see recv_bcast auto below)
+        # halo pads only at the large per-shard envelope where the r5
+        # composition wins (see recv_bcast auto below)
+        halo_kernels = (ep_devices and ep_mode == "halo"
+                        and vp_env >= 512 * 1024)
         pad_cols = (not ep_devices) or (
-            ep_mode != "halo" and amp and windowed and cols_fit_128)
+            (ep_mode != "halo" or halo_kernels)
+            and amp and windowed and cols_fit_128)
     mkw = dict(
         num_nodes=num_nodes, num_rels=num_rels, h_dim=h_dim,
         nlabel=0, num_hidden_layers=n_layers, dropout=dropout,
@@ -440,15 +443,18 @@ def train_unc(
         # compute, windowed plans, 128-lane table, split endpoints).
         # Since round 5 the sharded builders attach per-shard plan twins,
         # so ep-psum runs compose the r4 kernels too (per-shard program
-        # == the measured single-device winner). HALO stays OFF by
-        # default: the on-chip 1-device A/B (scripts/unc_step_bench.py
-        # --halo-only) measured the r5 composition 54.9 -> 64.8 ms at
-        # V=65k and neutral (315.6 -> 315.2) at V=262k — the owner-
-        # sharded sorted scatter into the composite table remains the
-        # winner (ARCHITECTURE §8.3 halo coda, round 5); explicit
-        # recv_bcast=True overrides.
+        # == the measured single-device winner). HALO is gated by the
+        # PER-SHARD owned-row envelope: the on-chip 1-device A/B
+        # (scripts/unc_step_bench.py --halo-only, R5_AB.json) measured
+        # the r5 composition 54.9 -> 64.8 ms at V=65k, neutral at 262k,
+        # and WINNING at V=1M (1294.9 -> 1265.1) — the composite-table
+        # sorted scatter dominates while tables are VMEM-resident and
+        # the broadcast kernel takes over once they are deep into HBM.
+        # Crossover gate at vp >= 512k; explicit recv_bcast overrides
+        # either way.
+        halo_big = halo and vp_env >= 512 * 1024
         recv_bcast = bool(amp and windowed and pad_cols and cols_fit_128
-                          and not halo
+                          and (not halo or halo_big)
                           and endpoint_gather != "fused")
     elif recv_bcast and not (amp and windowed and pad_cols and cols_fit_128
                              and endpoint_gather != "fused"):
